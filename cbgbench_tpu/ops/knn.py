@@ -1,0 +1,103 @@
+"""Masked k-nearest-neighbor selection over padded node sets.
+
+XLA-native replacement for torch_cluster's ``knn_graph`` (used per
+UniTransformer block, reference: repo/modules/e3nn/unitransformer.py:75-86).
+In the padded layout the graph is simply a neighbor-index tensor
+``idx [B, N, K]`` + validity mask: for each destination node, the K nearest
+valid source nodes (self excluded), matching
+``knn_graph(flow='source_to_target', loop=False)`` semantics.
+
+The distance matrix + top-k runs entirely on the VPU/MXU with static shapes;
+no scatter, no dynamic edge counts. For N ≤ ~2k this beats a sparse kernel on
+TPU; beyond that, a Pallas block-local top-k is the upgrade path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e30
+
+
+def pairwise_sqdist(pos: jnp.ndarray) -> jnp.ndarray:
+    """[..., N, 3] -> [..., N, N] squared distances (MXU-friendly form)."""
+    # |x-y|^2 = |x|^2 + |y|^2 - 2 x.y ; the cross term is a matmul.
+    sq = jnp.sum(pos * pos, axis=-1)
+    cross = jnp.einsum("...nd,...md->...nm", pos, pos)
+    d2 = sq[..., :, None] + sq[..., None, :] - 2 * cross
+    return jnp.maximum(d2, 0.0)
+
+
+def knn_neighbors(pos: jnp.ndarray, mask: jnp.ndarray, k: int,
+                  include_self: bool = False):
+    """For each node, indices of its k nearest valid neighbors.
+
+    Args:
+      pos:  [B, N, 3]
+      mask: [B, N] bool — valid nodes
+      k:    neighbor count (static)
+
+    Returns:
+      idx:   [B, N, K] int32 — source-node indices per destination
+      valid: [B, N, K] bool  — neighbor slot is a real edge
+    """
+    n = pos.shape[-2]
+    d2 = pairwise_sqdist(pos)
+    # Invalidate edges from/to padding and self-loops.
+    inval = ~(mask[..., :, None] & mask[..., None, :])
+    if not include_self:
+        eye = jnp.eye(n, dtype=bool)
+        inval = inval | eye
+    d2 = jnp.where(inval, _BIG, d2)
+    neg, idx = jax.lax.top_k(-d2, k)            # [B, N, K]
+    valid = (-neg) < _BIG * 0.5
+    valid = valid & mask[..., :, None]          # padded dst rows -> no edges
+    return idx.astype(jnp.int32), valid
+
+
+def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-neighbor features.
+
+    x [B, N, D], idx [B, N, K] -> [B, N, K, D]
+    x [B, N],    idx [B, N, K] -> [B, N, K]
+    """
+    if x.ndim == idx.ndim - 1:      # feature-less gather: x [B, N]
+        return jnp.take_along_axis(x[..., None, :], idx, axis=-1)
+    b = idx.shape[0]
+    d = x.shape[-1]
+    flat_idx = idx.reshape(b, -1)                       # [B, N*K]
+    gidx = jnp.broadcast_to(flat_idx[..., None], flat_idx.shape + (d,))
+    out = jnp.take_along_axis(x, gidx, axis=1)
+    return out.reshape(idx.shape + (d,))
+
+
+def hybrid_neighbors(pos, mask, lig_flag, k: int):
+    """Hybrid edge scheme (reference: repo/modules/graph.py
+    batch_hybrid_edge_connection): ligand nodes attend to k nearest ligand
+    nodes AND k nearest protein nodes; protein nodes to k nearest overall.
+    Returns idx [B, N, 2K] + valid mask."""
+    n = pos.shape[-2]
+    d2 = pairwise_sqdist(pos)
+    eye = jnp.eye(n, dtype=bool)
+    base_inval = ~(mask[..., :, None] & mask[..., None, :]) | eye
+
+    src_is_lig = lig_flag[..., None, :]
+    d2_lig = jnp.where(base_inval | ~src_is_lig, _BIG, d2)
+    d2_rec = jnp.where(base_inval | src_is_lig, _BIG, d2)
+    d2_any = jnp.where(base_inval, _BIG, d2)
+
+    neg_l, idx_l = jax.lax.top_k(-d2_lig, k)
+    neg_r, idx_r = jax.lax.top_k(-d2_rec, k)
+    neg_a, idx_a = jax.lax.top_k(-d2_any, k)
+
+    dst_is_lig = lig_flag[..., :, None]
+    idx1 = jnp.where(dst_is_lig, idx_l, idx_a)
+    neg1 = jnp.where(dst_is_lig, neg_l, neg_a)
+    idx2 = idx_r
+    neg2 = jnp.where(dst_is_lig, neg_r, -_BIG * jnp.ones_like(neg_r))
+
+    idx = jnp.concatenate([idx1, idx2], axis=-1).astype(jnp.int32)
+    valid = jnp.concatenate([-neg1, -neg2], axis=-1) < _BIG * 0.5
+    valid = valid & mask[..., :, None]
+    return idx, valid
