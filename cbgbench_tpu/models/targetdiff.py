@@ -1,0 +1,241 @@
+"""TargetDiff: joint Gaussian-coordinate + categorical atom-type diffusion.
+
+TPU-native rebuild of the reference TargetDiff
+(reference: repo/models/diffusion/targetdiff.py:14-184): protein context is
+frozen, generated ligand atoms diffuse in position (CTNVP, x0 "denoise"
+parameterization) and type (D3PM TypeVP). The denoiser is the
+UniTransformer dual attention stack over the composed pocket graph.
+
+Sampling runs the full T-step reverse process as one ``lax.scan`` under
+jit — the whole trajectory stays on device (the reference's per-step
+Python loop with CPU offload is the throughput bottleneck it replaces).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..diffusion import CTNVPScheduler, TypeVPScheduler
+from ..nn.embedders import (PLContextEmbedder, aa_onehot,
+                            protein_atom_features)
+from ..nn.unitransformer import UniTransformer
+from ..utils.registry import MODELS
+from ._base import sample_time
+
+
+class TargetDiff(nn.Module):
+    num_classes: int = 13
+    num_timesteps: int = 1000
+    denoise_structure: bool = True
+    denoise_atom: bool = True
+    time_sampler: str = "symmetric"
+    # embedder
+    emb_dim: int = 128
+    time_kind: Optional[str] = None
+    # denoiser
+    num_layers: int = 9
+    n_heads: int = 16
+    k: int = 32
+    r_max: float = 10.0
+    # schedules
+    pos_beta_start: float = 1e-7
+    pos_beta_end: float = 2e-3
+    pos_schedule: str = "sigmoid"
+    atom_schedule: str = "cosine"
+    atom_cosine_s: float = 0.01
+    # loss
+    loss_weight_pos: float = 1.0
+    loss_weight_atom: float = 100.0
+
+    @classmethod
+    def from_config(cls, cfg) -> "TargetDiff":
+        gen = cfg["generator"]
+        enc = cfg["encoder"]
+        emb = cfg.get("embedder", {})
+        return cls(
+            num_classes=cfg["num_atomtype"],
+            num_timesteps=gen["num_diffusion_timesteps"],
+            denoise_structure=gen.get("denoise_structure", True),
+            denoise_atom=gen.get("denoise_atom", True),
+            time_sampler=gen.get("time_sampler", "symmetric"),
+            emb_dim=emb.get("emb_dim", 128),
+            time_kind=(emb.get("time", {}) or {}).get("type")
+            if emb.get("time") else None,
+            num_layers=enc.get("num_layers", 9),
+            n_heads=enc.get("n_heads", 16),
+            k=enc.get("k", 32),
+            r_max=enc.get("r_max", 10.0),
+            pos_beta_start=gen["pos_schedule"].get("beta_start", 1e-7),
+            pos_beta_end=gen["pos_schedule"].get("beta_end", 2e-3),
+            pos_schedule=gen["pos_schedule"].get("type", "sigmoid"),
+            atom_schedule=gen["atom_schedule"].get("type", "cosine"),
+            atom_cosine_s=gen["atom_schedule"].get("cosine_s", 0.01),
+            loss_weight_pos=cfg.get("loss_weights", {}).get("pos", 1.0),
+            loss_weight_atom=cfg.get("loss_weights", {}).get("atom", 100.0),
+        )
+
+    def setup(self):
+        self.pos_scheduler = CTNVPScheduler.create(
+            self.num_timesteps, self.pos_beta_start, self.pos_beta_end,
+            self.pos_schedule)
+        self.type_scheduler = TypeVPScheduler.create(
+            self.num_timesteps, self.num_classes, self.atom_schedule,
+            cosine_s=self.atom_cosine_s)
+        self.embedder = PLContextEmbedder(
+            emb_dim=self.emb_dim, num_atom_classes=self.num_classes,
+            time_kind=self.time_kind)
+        self.denoiser = UniTransformer(
+            num_classes=self.num_classes, num_layers=self.num_layers,
+            hidden_dim=self.emb_dim, n_heads=self.n_heads, k=self.k,
+            r_max=self.r_max)
+
+    # ------------------------------------------------------------------
+
+    def _denoise(self, x_lig, c_lig, batch, t):
+        """Embed + compose + run the denoiser; return ligand-slice preds."""
+        lig, rec = batch.ligand, batch.protein
+        nl = lig.capacity
+        v_rec = protein_atom_features(rec.element, rec.is_backbone)
+        aa = aa_onehot(rec.aa)
+        h_lig, h_rec = self.embedder(c_lig, v_rec, aa, lig.mask, rec.mask, t)
+
+        x = jnp.concatenate([x_lig, rec.pos], axis=1)
+        h = jnp.concatenate([h_lig, h_rec], axis=1)
+        mask = jnp.concatenate([lig.mask, rec.mask], axis=1)
+        lig_flag = jnp.concatenate([lig.mask, jnp.zeros_like(rec.mask)], 1)
+        gen_flag = jnp.concatenate([lig.gen_flag, jnp.zeros_like(rec.mask)], 1)
+
+        x_out, _, c_out = self.denoiser(x, h, mask, lig_flag, gen_flag)
+        return x_out[:, :nl], c_out[:, :nl]
+
+    def get_loss(self, batch, t, rng) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        lig = batch.ligand
+        k_pos, k_type = jax.random.split(rng)
+        x0, v0, gen = lig.pos, lig.atype, lig.gen_flag & lig.mask
+
+        if self.denoise_structure:
+            x_t, _ = self.pos_scheduler.forward_add_noise(k_pos, x0, t, gen)
+        else:
+            x_t = x0
+        if self.denoise_atom:
+            c_t, v_t = self.type_scheduler.forward_add_noise(k_type, v0, t, gen)
+        else:
+            c_t = jax.nn.one_hot(v0, self.num_classes)
+            v_t = v0
+
+        x_pred, c_pred = self._denoise(x_t, c_t, batch, t)
+
+        results = {}
+        if self.denoise_structure:
+            loss_pos, pos_info = self.pos_scheduler.get_loss(
+                x_pred, x0, x_t, t, gen, pred_type="denoise")
+            results.update(pos_info)
+        else:
+            loss_pos = jnp.zeros(())
+        if self.denoise_atom:
+            loss_atom, atom_info = self.type_scheduler.get_loss(
+                c_pred, v0, v_t, t, gen)
+            results.update(atom_info)
+        else:
+            loss_atom = jnp.zeros(())
+
+        return {"pos": loss_pos, "atom": loss_atom}, results
+
+    def __call__(self, batch, t, rng):
+        """Training forward (used for init + train step)."""
+        return self.get_loss(batch, t, rng)
+
+    def weighted_loss(self, loss_dict):
+        return (self.loss_weight_pos * loss_dict["pos"]
+                + self.loss_weight_atom * loss_dict["atom"])
+
+    def eval_loss(self, batch, rng, eval_interval: int = 10):
+        """Validation: average loss over `eval_interval` fixed timesteps
+        (reference: targetdiff.py:64-80)."""
+        b = batch.ligand.pos.shape[0]
+        import numpy as np
+        times = np.linspace(0, self.num_timesteps - 1, eval_interval)
+        total = {"pos": 0.0, "atom": 0.0}
+        last_results = None
+        for i, tv in enumerate(times):
+            t = jnp.full((b,), int(round(float(tv))), jnp.int32)
+            ld, last_results = self.get_loss(batch, t, jax.random.fold_in(rng, i))
+            total = {k: total[k] + ld[k] / len(times) for k in total}
+        return total, last_results
+
+    def denoise(self, x_lig, c_lig, batch, t):
+        """Public denoiser step for samplers: apply(params, ..., method='denoise')."""
+        return self._denoise(x_lig, c_lig, batch, t)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_steps"))
+def _sample_chunk(model: TargetDiff, params, batch, carry, t_hi, n_steps):
+    """Scan `n_steps` reverse-diffusion steps starting at timestep t_hi.
+
+    One compiled program serves every chunk (t_hi is a traced argument);
+    the host loop in sample_targetdiff re-dispatches so no single device
+    program exceeds the platform's per-execution budget."""
+    lig = batch.ligand
+    gen = lig.gen_flag & lig.mask
+    pos_sched = CTNVPScheduler.create(
+        model.num_timesteps, model.pos_beta_start, model.pos_beta_end,
+        model.pos_schedule)
+    type_sched = TypeVPScheduler.create(
+        model.num_timesteps, model.num_classes, model.atom_schedule,
+        cosine_s=model.atom_cosine_s)
+
+    def step(carry, i):
+        x, c, key = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        t = jnp.full((x.shape[0],), t_hi - i, jnp.int32)
+        x_pred, c_pred = model.apply(params, x, c, batch, t, method="denoise")
+        if model.denoise_structure:
+            x_next = pos_sched.backward_remove_noise(
+                k1, x_pred, x, t, gen, pred_type="denoise")
+        else:
+            x_next = x
+        if model.denoise_atom:
+            c_next, _ = type_sched.backward_remove_noise(k2, c_pred, c, t, gen)
+        else:
+            c_next = c
+        return (x_next, c_next, key), None
+
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_steps))
+    return carry
+
+
+def sample_targetdiff(model: TargetDiff, params, batch, rng,
+                      chunk_size: int = 100):
+    """Full reverse diffusion, host-chunked.
+
+    Starts from the prior already placed in batch.ligand (pos ~ pocket
+    prior, atype ~ uniform) and denoises num_timesteps steps. Each chunk is
+    one fused lax.scan program (reused across chunks); the trajectory stays
+    on device — the reference's per-step Python loop with CPU offload
+    (targetdiff.py:181) is the throughput bottleneck this replaces."""
+    lig = batch.ligand
+    c_in = jax.nn.one_hot(lig.atype, model.num_classes)
+    carry = (lig.pos, c_in, rng)
+    total = model.num_timesteps
+    chunk = min(chunk_size, total)
+    t_hi = total - 1
+    while t_hi >= 0:
+        n = min(chunk, t_hi + 1)
+        carry = _sample_chunk(model, params, batch, carry,
+                              jnp.asarray(t_hi, jnp.int32), n)
+        # Synchronize between chunks: keeps each device RPC short (the
+        # platform enforces a per-execution wall-clock budget).
+        jax.block_until_ready(carry[0])
+        t_hi -= n
+    x_fin, c_fin, _ = carry
+    return {"pos": x_fin, "atype": jnp.argmax(c_fin, -1), "c": c_fin}
+
+
+@MODELS.register("targetdiff")
+def _build_targetdiff(cfg):
+    return TargetDiff.from_config(cfg)

@@ -1,0 +1,142 @@
+"""UniTransformer: the E(3) dual-attention denoiser (TargetDiff/DiffBP).
+
+Padded-layout rewrite of the reference UniTransformer
+(reference: repo/modules/e3nn/unitransformer.py:12-186). Per block the kNN
+neighborhood is rebuilt from current coordinates (dense masked top-k), then
+``num_layers`` dual-attention layers run: X2H updates node features via
+neighbor attention, H2X applies an equivariant coordinate delta gated by
+``gen_flag`` so context atoms never move.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.knn import gather_neighbors, gather_neighbors_multi, knn_neighbors
+from ..ops.rbf import GaussianSmearingTable
+from ..utils.geometry import safe_norm
+from .attention import H2XAttention, X2HAttention
+from .common import MLP, ShiftedSoftplus
+
+
+def build_edge_type(lig_flag, idx, valid):
+    """4-class one-hot edge typing by (src-is-ligand, dst-is-ligand)
+    (reference: unitransformer.py:88-99): ll=0, l->r dst=1, r->l=2, rr=3.
+    In reference terms src/dst: class = (1-src_lig)*2 + (1-dst_lig)."""
+    src_lig = gather_neighbors(lig_flag, idx)            # [B, N, K]
+    dst_lig = lig_flag[..., :, None]
+    cls = (1 - src_lig.astype(jnp.int32)) * 2 + (1 - dst_lig.astype(jnp.int32))
+    onehot = jax.nn.one_hot(cls, 4)
+    return onehot * valid[..., None]
+
+
+class E3DualAttentionLayer(nn.Module):
+    hidden_dim: int = 128
+    n_heads: int = 16
+    edge_feat_dim: int = 4
+    num_r_gaussian: int = 20
+    r_max: float = 10.0
+    act: str = "relu"
+    norm: bool = True
+    num_x2h: int = 1
+    num_h2x: int = 1
+    ew_net_type: str = "global"
+    x2h_out_fc: bool = False
+    dynamic_x: bool = True
+
+    @nn.compact
+    def __call__(self, x, h, idx, valid, edge_attr, e_w, gen_flag):
+        common = dict(hidden_dim=self.hidden_dim, n_heads=self.n_heads,
+                      edge_feat_dim=self.edge_feat_dim,
+                      num_r_gaussian=self.num_r_gaussian, r_max=self.r_max,
+                      act=self.act, norm=self.norm,
+                      ew_net_type=self.ew_net_type)
+
+        h_in = h
+        for i in range(self.num_x2h):
+            # one fused one-hot matmul gathers both coordinates and features
+            x_src, h_src = gather_neighbors_multi([x, h_in], idx)
+            rel_x = x[..., :, None, :] - x_src
+            h_dst = jnp.broadcast_to(h_in[..., :, None, :], h_src.shape)
+            h_in = X2HAttention(out_fc=self.x2h_out_fc, name=f"x2h_{i}",
+                                **common)(rel_x, h_dst, h_src, edge_attr,
+                                          valid, e_w)
+        h_out = h_in
+
+        x_in, x_out = x, x
+        for i in range(self.num_h2x):
+            x_src, h_src = gather_neighbors_multi([x_in, h_out], idx)
+            rel_x = x_in[..., :, None, :] - x_src
+            h_dst = jnp.broadcast_to(h_out[..., :, None, :], h_src.shape)
+            delta_x = H2XAttention(name=f"h2x_{i}", **common)(
+                rel_x, h_dst, h_src, edge_attr, valid, e_w)
+            x_out = x_out + delta_x * gen_flag.astype(x.dtype)[..., None]
+            if self.dynamic_x:
+                x_in = x_out
+        return x_out, h_out
+
+
+class UniTransformer(nn.Module):
+    num_classes: Optional[int] = None
+    out_classes: Optional[int] = None
+    num_blocks: int = 1
+    num_layers: int = 9
+    hidden_dim: int = 128
+    n_heads: int = 16
+    edge_feat_dim: int = 4
+    act: str = "relu"
+    norm: bool = True
+    cutoff_mode: str = "knn"
+    k: int = 32
+    r_max: float = 10.0
+    ew_net_type: str = "global"
+    num_r_gaussian: int = 20
+    num_x2h: int = 1
+    num_h2x: int = 1
+    x2h_out_fc: bool = False
+
+    @nn.compact
+    def __call__(self, x, h, mask, lig_flag, gen_flag):
+        """x [B,N,3], h [B,N,D], mask/lig_flag/gen_flag [B,N].
+        Returns (x', h', class logits or None)."""
+        layers = [
+            E3DualAttentionLayer(
+                hidden_dim=self.hidden_dim, n_heads=self.n_heads,
+                edge_feat_dim=self.edge_feat_dim,
+                num_r_gaussian=self.num_r_gaussian, r_max=self.r_max,
+                act=self.act, norm=self.norm, num_x2h=self.num_x2h,
+                num_h2x=self.num_h2x, ew_net_type=self.ew_net_type,
+                x2h_out_fc=self.x2h_out_fc, name=f"layer_{i}")
+            for i in range(self.num_layers)
+        ]
+        if self.ew_net_type == "global":
+            # reference: get_dist_emb('gaussian_exp', 20) = GaussianSmearing
+            # then MLP(20 -> 1, hidden 20*8)
+            dist_gate = MLP(1, self.num_r_gaussian * 8, num_layer=2,
+                            norm=True, act="relu", name="dist_emb_mlp")
+            rbf_table = GaussianSmearingTable(0.0, self.r_max,
+                                              self.num_r_gaussian)
+
+        for _ in range(self.num_blocks):
+            idx, valid = knn_neighbors(x, mask, self.k)
+            edge_attr = build_edge_type(lig_flag, idx, valid)
+            if self.ew_net_type == "global":
+                rel = x[..., :, None, :] - gather_neighbors(x, idx)
+                dist = safe_norm(rel, axis=-1, keepdims=True)
+                e_w = nn.sigmoid(dist_gate(rbf_table(dist)))
+            else:
+                e_w = None
+            for layer in layers:
+                x, h = layer(x, h, idx, valid, edge_attr, e_w, gen_flag)
+
+        if self.num_classes is not None:
+            out_c = self.out_classes or self.num_classes
+            c = nn.Dense(self.hidden_dim, name="cls_fc1")(h)
+            c = ShiftedSoftplus()(c)
+            c = nn.Dense(out_c, name="cls_fc2")(c)
+            return x, h, c
+        return x, h, None

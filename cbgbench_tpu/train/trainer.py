@@ -1,0 +1,77 @@
+"""Jitted train/eval steps over padded pocket batches.
+
+Replaces the reference's Python train loop body (train.py:173-249) with a
+single fused XLA program: forward, weighted loss, grad, global-norm clip,
+optimizer update. Data parallelism is added by jitting with sharded batch
+inputs (see cbgbench_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @staticmethod
+    def create(params, tx):
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=tx.init(params))
+
+
+def make_train_step(model, tx, donate: bool = True) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+
+    def loss_fn(params, batch, t, rng):
+        loss_dict, _ = model.apply(params, batch, t, rng)
+        total = model.weighted_loss(loss_dict)
+        return total, loss_dict
+
+    def step_fn(state: TrainState, batch, rng) -> tuple:
+        from ..models import sample_time
+        b = batch.ligand.pos.shape[0]
+        k_t, k_noise = jax.random.split(jax.random.fold_in(rng, state.step))
+        t = sample_time(k_t, b, model.num_timesteps, model.time_sampler)
+        (total, loss_dict), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, t, k_noise)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": total, "grad_norm": optax.global_norm(grads),
+                   **{f"loss_{k}": v for k, v in loss_dict.items()}}
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, eval_interval: int = 10) -> Callable:
+    """Validation loss at fixed timesteps (reference: train.py:207-249)."""
+
+    def eval_fn(params, batch, rng) -> Dict[str, jnp.ndarray]:
+        b = batch.ligand.pos.shape[0]
+        import numpy as np
+        times = np.linspace(0, model.num_timesteps - 1, eval_interval)
+        total = None
+        for i, tv in enumerate(times):
+            t = jnp.full((b,), int(round(float(tv))), jnp.int32)
+            loss_dict, _ = model.apply(params, batch, t,
+                                       jax.random.fold_in(rng, i))
+            if total is None:
+                total = {k: v / len(times) for k, v in loss_dict.items()}
+            else:
+                total = {k: total[k] + v / len(times)
+                         for k, v in loss_dict.items()}
+        total["loss"] = model.weighted_loss(total)
+        return total
+
+    return jax.jit(eval_fn)

@@ -1,0 +1,121 @@
+"""End-to-end TargetDiff: init, loss, train-step overfit, sampling scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cbgbench_tpu.data.batch import synthetic_batch
+from cbgbench_tpu.models.targetdiff import TargetDiff, sample_targetdiff
+from cbgbench_tpu.train import get_optimizer, make_train_step, TrainState
+
+TINY = dict(num_classes=8, num_timesteps=20, emb_dim=32, num_layers=2,
+            n_heads=4, k=8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = TargetDiff(**TINY)
+    batch = synthetic_batch(0, batch_size=2, n_lig=10, n_rec=40,
+                            num_atom_types=8, lig_cap=16, rec_cap=48)
+    rng = jax.random.PRNGKey(0)
+    t = jnp.array([5, 10])
+    params = jax.jit(model.init)(rng, batch, t, rng)
+    return model, batch, params
+
+
+def test_loss_finite_and_structured(setup):
+    model, batch, params = setup
+    t = jnp.array([3, 17])
+    loss_dict, results = model.apply(params, batch, t, jax.random.PRNGKey(1))
+    assert set(loss_dict) == {"pos", "atom"}
+    for v in loss_dict.values():
+        assert np.isfinite(float(v))
+    assert "c_pred" in results and "x_pred" in results
+
+
+def test_context_atoms_never_move(setup):
+    """gen_flag=False ligand atoms and all protein atoms must be fixed
+    points of the denoiser's coordinate update."""
+    model, batch, params = setup
+    lig = batch.ligand
+    gen = lig.gen_flag.at[:, :5].set(False)
+    batch2 = batch.replace(ligand=lig.replace(gen_flag=gen))
+    c = jax.nn.one_hot(lig.atype, 8)
+    t = jnp.array([5, 5])
+    x_pred, _ = model.apply(params, lig.pos, c, batch2, t, method="denoise")
+    np.testing.assert_allclose(np.asarray(x_pred[:, :5]),
+                               np.asarray(lig.pos[:, :5]), atol=1e-5)
+    assert not np.allclose(np.asarray(x_pred[:, 5:10]),
+                           np.asarray(lig.pos[:, 5:10]))
+
+
+def test_train_step_overfits(setup):
+    model, batch, params = setup
+    tx = get_optimizer({"type": "adam", "lr": 1e-3}, max_grad_norm=8.0)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, donate=False)
+    rng = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_sampling_scan(setup):
+    model, batch, params = setup
+    out = jax.jit(lambda b, r: sample_targetdiff(model, params, b, r))(
+        batch, jax.random.PRNGKey(3))
+    assert out["pos"].shape == batch.ligand.pos.shape
+    assert out["atype"].shape == batch.ligand.atype.shape
+    assert np.isfinite(np.asarray(out["pos"])).all()
+    a = np.asarray(out["atype"])
+    assert (a >= 0).all() and (a < 8).all()
+
+
+def test_padding_invariance(setup):
+    """Adding padding rows must not change the loss (masking correctness)."""
+    model, _, _ = setup
+    rng = jax.random.PRNGKey(4)
+    b_small = synthetic_batch(7, batch_size=2, n_lig=10, n_rec=40,
+                              num_atom_types=8, lig_cap=16, rec_cap=48)
+    b_big = synthetic_batch(7, batch_size=2, n_lig=10, n_rec=40,
+                            num_atom_types=8, lig_cap=32, rec_cap=96)
+    t = jnp.array([5, 10])
+    params = jax.jit(model.init)(rng, b_small, t, rng)
+    noise_rng = jax.random.PRNGKey(5)
+    # Use identical noise by seeding identically; shapes differ, so compare
+    # via deterministic t and the denoiser only.
+    c_small = jax.nn.one_hot(b_small.ligand.atype, 8)
+    c_big = jax.nn.one_hot(b_big.ligand.atype, 8)
+    x1, c1 = model.apply(params, b_small.ligand.pos, c_small, b_small, t,
+                         method="denoise")
+    x2, c2 = model.apply(params, b_big.ligand.pos, c_big, b_big, t,
+                         method="denoise")
+    m = np.asarray(b_small.ligand.mask)
+    np.testing.assert_allclose(np.asarray(x1)[m], np.asarray(x2[:, :16])[m],
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c1)[m], np.asarray(c2[:, :16])[m],
+                               atol=2e-3)
+
+
+def test_grads_finite_with_self_gathering_padded_rows():
+    """k > padded-row index used to produce dist=0 self-edges whose norm
+    gradient is NaN (0*NaN leak in backward). Regression for safe_norm."""
+    model = TargetDiff(num_classes=8, num_timesteps=20, emb_dim=32,
+                       num_layers=2, n_heads=4, k=32)
+    batch = synthetic_batch(1, batch_size=2, n_lig=10, n_rec=30,
+                            num_atom_types=8, lig_cap=16, rec_cap=48)
+    rng = jax.random.PRNGKey(0)
+    t = jnp.array([5, 10])
+    params = jax.jit(model.init)(rng, batch, t, rng)
+
+    def loss_fn(p):
+        ld, _ = model.apply(p, batch, t, jax.random.PRNGKey(1))
+        return model.weighted_loss(ld)
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
