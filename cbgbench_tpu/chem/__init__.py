@@ -1,0 +1,5 @@
+from .mol import Molecule  # noqa: F401
+from .sdf import read_sdf, write_sdf  # noqa: F401
+from .pdb import parse_pdb_pocket  # noqa: F401
+from .bonds import perceive_bonds  # noqa: F401
+from .reconstruct import reconstruct_molecule, evaluate_validity  # noqa: F401

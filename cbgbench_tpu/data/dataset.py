@@ -1,0 +1,159 @@
+"""Datasets + loaders feeding padded device batches.
+
+Two sources:
+  * RawPairDataset — (pocket.pdb, ligand.sdf) file pairs parsed with the
+    pure-python chem layer (works on the bundled assets/examples fixtures
+    and on CrossDocked's extracted pocket10 directory tree).
+  * CrossDockedLMDB — the reference's LMDB cache (optional, requires lmdb;
+    reference: repo/datasets/pl.py:38-87).
+
+The loader replaces PyG DataLoader + Collater (reference:
+repo/utils/loader.py): it pads each sample into the shape bucket and stacks
+— every batch has identical shapes, so the jitted train step never
+retraces.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..chem.pdb import parse_pdb_pocket, pocket_shell
+from ..chem.sdf import read_sdf
+from .batch import (DEFAULT_LIG_CAP, DEFAULT_REC_CAP, PocketLigandBatch,
+                    stack_batch)
+from .featurize import featurize_ligand, featurize_protein
+
+
+class RawPairDataset:
+    """Parse + featurize (pdb, sdf) pairs lazily with caching."""
+
+    def __init__(self, pairs: Sequence[Tuple[str, str]],
+                 transform: Optional[Callable] = None,
+                 mode: str = "add_aromatic", pocket_radius: float = 0.0,
+                 keep_bonds: bool = True):
+        self.pairs = list(pairs)
+        self.transform = transform
+        self.mode = mode
+        self.pocket_radius = pocket_radius
+        self.keep_bonds = keep_bonds
+        self._cache: dict = {}
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def _parse(self, i: int) -> dict:
+        if i in self._cache:
+            return self._cache[i]
+        pdb_path, sdf_path = self.pairs[i]
+        atoms, residues = parse_pdb_pocket(pdb_path)
+        lig = read_sdf(sdf_path)[0]
+        if self.pocket_radius > 0:
+            atoms, residues = pocket_shell(atoms, residues, lig.pos,
+                                           self.pocket_radius)
+        sample = {
+            "protein": featurize_protein(atoms),
+            "ligand": featurize_ligand(lig, self.mode,
+                                       keep_bonds=self.keep_bonds),
+            "name": os.path.basename(sdf_path),
+        }
+        self._cache[i] = sample
+        return sample
+
+    def get(self, i: int, rng: np.random.Generator) -> dict:
+        import copy
+        sample = copy.deepcopy(self._parse(i))
+        if self.transform is not None:
+            sample = self.transform(sample, rng)
+        return sample
+
+
+def example_pairs(assets_dir: Optional[str] = None) -> List[Tuple[str, str]]:
+    """The 5 bundled example complexes (Eg5, IMDPH, adrb1, drd2, smarca2)."""
+    if assets_dir is None:
+        assets_dir = os.path.join(os.path.dirname(__file__), "..", "..",
+                                  "assets", "examples")
+    pairs = []
+    for d in sorted(os.listdir(assets_dir)):
+        sub = os.path.join(assets_dir, d)
+        if not os.path.isdir(sub):
+            continue
+        pdb = [f for f in os.listdir(sub) if f.endswith("_protein.pdb")]
+        sdf = [f for f in os.listdir(sub) if f.endswith("_ligand.sdf")]
+        if pdb and sdf:
+            pairs.append((os.path.join(sub, pdb[0]), os.path.join(sub, sdf[0])))
+    return pairs
+
+
+def make_loader(dataset: RawPairDataset, batch_size: int,
+                lig_cap: int = DEFAULT_LIG_CAP, rec_cap: int = DEFAULT_REC_CAP,
+                shuffle: bool = True, seed: int = 0, infinite: bool = True,
+                drop_oversize: bool = True) -> Iterator[PocketLigandBatch]:
+    """Yield fixed-shape PocketLigandBatch forever (training) or one epoch."""
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(dataset))
+    while True:
+        if shuffle:
+            rng.shuffle(order)
+        buf = []
+        n_kept = 0
+        for i in order:
+            try:
+                s = dataset.get(int(i), rng)
+            except Exception:
+                continue
+            if drop_oversize and (
+                    len(s["ligand"].get("atype", [])) > lig_cap
+                    or len(s["protein"]["pos"]) > rec_cap):
+                continue
+            n_kept += 1
+            buf.append(_to_stackable(s))
+            if len(buf) == batch_size:
+                yield stack_batch(buf, lig_cap=lig_cap, rec_cap=rec_cap)
+                buf = []
+        if n_kept == 0:
+            raise RuntimeError(
+                f"every sample exceeded the shape bucket (lig_cap={lig_cap}, "
+                f"rec_cap={rec_cap}) or failed to parse; use a larger bucket")
+        if not infinite:
+            if len(buf):
+                while len(buf) < batch_size:   # pad final batch by repetition
+                    buf.append(buf[-1])
+                yield stack_batch(buf, lig_cap=lig_cap, rec_cap=rec_cap)
+            return
+
+
+def _to_stackable(s: dict) -> dict:
+    lig = s["ligand"]
+    out_lig = dict(pos=lig["pos"], atype=lig["atype"])
+    if "gen_flag" in lig:
+        out_lig["gen_flag"] = lig["gen_flag"]
+    if "bond_index" in lig:
+        out_lig["bond_index"] = lig["bond_index"]
+        out_lig["bond_type"] = lig["bond_type"]
+    return {"ligand": out_lig, "protein": s["protein"],
+            "translation": s.get("translation", np.zeros(3, np.float32))}
+
+
+def repeat_for_sampling(dataset: RawPairDataset, index: int,
+                        num_samples: int, batch_size: int,
+                        transform: Callable, seed: int = 0,
+                        lig_cap: int = DEFAULT_LIG_CAP,
+                        rec_cap: int = DEFAULT_REC_CAP):
+    """Reference sampler protocol: replicate one test pocket num_samples
+    times with fresh prior draws each (sample.py:159-181). Yields batches."""
+    rng = np.random.default_rng(seed)
+    buf = []
+    for _ in range(num_samples):
+        s = dataset.get(index, rng)
+        s = transform(s, rng) if transform is not None else s
+        buf.append(_to_stackable(s))
+        if len(buf) == batch_size:
+            yield stack_batch(buf, lig_cap=lig_cap, rec_cap=rec_cap)
+            buf = []
+    if buf:
+        while len(buf) < batch_size:
+            buf.append(buf[-1])
+        yield stack_batch(buf, lig_cap=lig_cap, rec_cap=rec_cap)

@@ -1,0 +1,95 @@
+"""Chemistry host-layer tests on the real example fixtures."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from cbgbench_tpu.chem import (Molecule, evaluate_validity, parse_pdb_pocket,
+                               perceive_bonds, read_sdf, write_sdf)
+from cbgbench_tpu.chem.pdb import pocket_shell
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets", "examples")
+LIGANDS = sorted(glob.glob(os.path.join(ASSETS, "*", "*_ligand.sdf")))
+PDBS = sorted(glob.glob(os.path.join(ASSETS, "*", "*_protein.pdb")))
+
+
+@pytest.mark.parametrize("path", LIGANDS)
+def test_read_sdf_fixture(path):
+    mols = read_sdf(path)
+    assert len(mols) >= 1
+    mol = mols[0]
+    assert mol.num_atoms > 5
+    assert len(mol.bonds) >= mol.num_atoms - 1 - 5
+    assert np.isfinite(mol.pos).all()
+    # elements in the CrossDocked set
+    assert set(mol.atomic_numbers) <= {1, 5, 6, 7, 8, 9, 15, 16, 17, 35, 53}
+
+
+def test_sdf_roundtrip(tmp_path):
+    mol = read_sdf(LIGANDS[0])[0]
+    out = tmp_path / "m.sdf"
+    write_sdf(str(out), mol)
+    back = read_sdf(str(out))[0]
+    np.testing.assert_allclose(back.pos, mol.pos, atol=1e-3)
+    assert (back.atomic_numbers == mol.atomic_numbers).all()
+    assert back.bonds == mol.bonds
+
+
+@pytest.mark.parametrize("path", LIGANDS[:2])
+def test_bond_perception_recovers_file_bonds(path):
+    """Distance-based perception should recover most recorded bonds."""
+    mol = read_sdf(path)[0]
+    perceived = perceive_bonds(mol.atomic_numbers, mol.pos,
+                               aromatic=mol.aromatic)
+    true_keys = set(mol.bonds)
+    got_keys = set(perceived.bonds)
+    recall = len(true_keys & got_keys) / max(len(true_keys), 1)
+    precision = len(true_keys & got_keys) / max(len(got_keys), 1)
+    assert recall > 0.9, (recall, path)
+    assert precision > 0.85, (precision, path)
+
+
+def test_validity_filter():
+    mol = read_sdf(LIGANDS[0])[0]
+    frag, ok = evaluate_validity(mol)
+    assert ok and frag.num_atoms > 5
+    # a scattered gas of far-apart atoms is invalid
+    gas = perceive_bonds(np.array([6] * 10),
+                         np.arange(30).reshape(10, 3) * 17.0)
+    _, ok = evaluate_validity(gas)
+    assert not ok
+
+
+@pytest.mark.parametrize("path", PDBS[:2])
+def test_parse_pdb(path):
+    atoms, residues = parse_pdb_pocket(path)
+    assert atoms.pos.shape[0] > 100
+    assert atoms.is_backbone.sum() > 50
+    assert (atoms.element > 1).all()
+    assert residues.pos_heavyatom.shape[1] == 15
+    # CA present for most residues
+    assert residues.mask_heavyatom[:, 1].mean() > 0.95
+
+
+def test_pocket_shell():
+    atoms, residues = parse_pdb_pocket(PDBS[0])
+    lig = read_sdf(LIGANDS[0])[0]
+    a10, r10 = pocket_shell(atoms, residues, lig.pos, radius=10.0)
+    a5, _ = pocket_shell(atoms, residues, lig.pos, radius=5.0)
+    assert 0 < a5.pos.shape[0] < a10.pos.shape[0] <= atoms.pos.shape[0]
+    # every kept residue really has an atom within 10A
+    d = np.linalg.norm(a10.pos[:, None] - lig.pos[None], axis=-1).min(1)
+    assert d.min() < 10.0
+
+
+def test_rings_benzene():
+    # regular hexagon of aromatic carbons
+    ang = np.linspace(0, 2 * np.pi, 7)[:-1]
+    pos = np.stack([1.39 * np.cos(ang), 1.39 * np.sin(ang),
+                    np.zeros(6)], axis=1)
+    mol = perceive_bonds(np.array([6] * 6), pos, aromatic=np.ones(6, bool))
+    rings = mol.rings()
+    assert any(len(r) == 6 for r in rings)
+    assert all(cls == 4 for cls in mol.bonds.values())

@@ -1,0 +1,90 @@
+"""End-to-end denovo smoke test on the bundled example complexes:
+parse -> featurize -> train a tiny TargetDiff -> prior-init sampling ->
+reconstruct -> SDF out. CPU-runnable (build plan stage 5)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cbgbench_tpu.chem import evaluate_validity, read_sdf, reconstruct_molecule, write_sdf
+from cbgbench_tpu.data.dataset import (RawPairDataset, example_pairs,
+                                       make_loader, repeat_for_sampling)
+from cbgbench_tpu.data.transforms import compose
+from cbgbench_tpu.models.targetdiff import TargetDiff, sample_targetdiff
+from cbgbench_tpu.train import TrainState, get_optimizer, make_train_step
+
+LIG_CAP, REC_CAP = 96, 928  # real pocket10 shells run 575-800 atoms
+
+
+def test_denovo_end_to_end(tmp_path):
+    pairs = example_pairs()
+    assert len(pairs) >= 4  # IMDPH ships .mol2, not .sdf
+
+    train_tf = compose([
+        {"type": "add_pos_noise", "noise_std": 0.1, "graph_name": "ligand"},
+        {"type": "center_pos", "center_flag": "protein"},
+    ])
+    ds = RawPairDataset(pairs, transform=train_tf, mode="add_aromatic",
+                        pocket_radius=10.0)
+    loader = make_loader(ds, batch_size=2, lig_cap=LIG_CAP, rec_cap=REC_CAP)
+
+    model = TargetDiff(num_classes=13, num_timesteps=20, emb_dim=32,
+                       num_layers=2, n_heads=4, k=8)
+    batch = next(loader)
+    assert batch.ligand.mask.sum() > 10
+    assert batch.protein.mask.sum() > 100
+
+    rng = jax.random.PRNGKey(0)
+    t = jnp.zeros((2,), jnp.int32)
+    params = jax.jit(model.init)(rng, batch, t, rng)
+    tx = get_optimizer({"type": "adam", "lr": 1e-3}, max_grad_norm=8.0)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, donate=False)
+
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, next(loader), rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+
+    # --- sampling with the reference's prior-init protocol ---
+    test_tf = compose([
+        {"type": "center_pos", "center_flag": "protein"},
+        {"type": "remove_ligand"},
+        {"type": "assign_molsize"},
+        {"type": "assign_atomtype", "mode": "add_aromatic"},
+        {"type": "assign_molpos"},
+    ])
+    ds_test = RawPairDataset(pairs, transform=None, mode="add_aromatic",
+                             pocket_radius=10.0)
+    batches = list(repeat_for_sampling(ds_test, 0, num_samples=4,
+                                       batch_size=4, transform=test_tf,
+                                       lig_cap=LIG_CAP, rec_cap=REC_CAP))
+    assert len(batches) == 1
+    sb = batches[0]
+    n_gen = np.asarray(sb.ligand.mask.sum(1))
+    assert (n_gen >= 2).all() and (n_gen <= LIG_CAP).all()
+    # independent prior draws per replica
+    assert len(set(n_gen.tolist())) > 1 or not np.allclose(
+        np.asarray(sb.ligand.pos[0]), np.asarray(sb.ligand.pos[1]))
+
+    out = sample_targetdiff(model, state.params, sb, jax.random.PRNGKey(1))
+    pos = np.asarray(out["pos"]) + np.asarray(sb.translation)[:, None]
+    atype = np.asarray(out["atype"])
+    mask = np.asarray(sb.ligand.mask)
+
+    n_valid = 0
+    for i in range(4):
+        mol = reconstruct_molecule(pos[i][mask[i]], atype[i][mask[i]],
+                                   mode="add_aromatic")
+        frag, ok = evaluate_validity(mol, min_atoms=4)
+        if ok:
+            n_valid += 1
+            write_sdf(str(tmp_path / f"gen_{i}.sdf"), frag)
+    # untrained model: just require the pipeline to emit parseable SDF
+    produced = list(tmp_path.glob("gen_*.sdf"))
+    for p in produced:
+        back = read_sdf(str(p))
+        assert back and back[0].num_atoms >= 4
