@@ -219,3 +219,82 @@ def synthetic_batch(rng: np.random.Generator | int = 0, batch_size: int = 4,
                             aa=rng.integers(0, 20, nr)),
         })
     return stack_batch(samples, lig_cap=lig_cap, rec_cap=rec_cap)
+
+
+@struct.dataclass
+class FGNodes:
+    """Padded ligand functional-group frames (D3FG coarse representation)."""
+
+    pos: jnp.ndarray          # [B, NF, 3]  frame centers
+    orient: jnp.ndarray       # [B, NF, 3]  SO(3) vectors
+    type_fg: jnp.ndarray      # [B, NF]     FG class
+    mask: jnp.ndarray         # [B, NF]
+    gen_flag: jnp.ndarray     # [B, NF]
+    # full atoms per FG (15-slot layout, for assembly/decoding)
+    pos_heavyatom: Optional[jnp.ndarray] = None   # [B, NF, 15, 3]
+    mask_heavyatom: Optional[jnp.ndarray] = None  # [B, NF, 15]
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[-2]
+
+
+@struct.dataclass
+class FGBatch:
+    """D3FG batch: ligand FG frames + residue-level receptor."""
+
+    ligand: FGNodes
+    residues: ResidueNodes
+    rec_type: jnp.ndarray     # [B, NR] FG-merged class of each residue
+    translation: jnp.ndarray  # [B, 3]
+
+    @property
+    def batch_size(self) -> int:
+        return self.ligand.pos.shape[0]
+
+
+def synthetic_fg_batch(rng=0, batch_size: int = 2, n_fg: int = 6,
+                       n_res: int = 40, num_fg_types: int = 28,
+                       fg_cap: int = 8, res_cap: int = 48) -> FGBatch:
+    """Random FG-frame batch for tests/benchmarks."""
+    if not isinstance(rng, np.random.Generator):
+        rng = np.random.default_rng(rng)
+    from ..constants.protein import NUM_AA_TYPES
+
+    b = batch_size
+    lig_pos = np.zeros((b, fg_cap, 3), np.float32)
+    lig_o = np.zeros((b, fg_cap, 3), np.float32)
+    lig_t = np.zeros((b, fg_cap), np.int32)
+    lig_mask = np.zeros((b, fg_cap), bool)
+    res_pos = np.zeros((b, res_cap, 15, 3), np.float32)
+    res_mask_ha = np.zeros((b, res_cap, 15), bool)
+    res_aa = np.zeros((b, res_cap), np.int32)
+    res_nb = np.zeros((b, res_cap), np.int32)
+    chain_nb = np.zeros((b, res_cap), np.int32)
+    res_mask = np.zeros((b, res_cap), bool)
+    rec_type = np.zeros((b, res_cap), np.int32)
+    for i in range(b):
+        nf = int(rng.integers(max(2, n_fg // 2), n_fg + 1))
+        nr = int(rng.integers(max(8, n_res // 2), n_res + 1))
+        lig_pos[i, :nf] = rng.normal(scale=2.0, size=(nf, 3))
+        lig_o[i, :nf] = rng.normal(scale=0.5, size=(nf, 3))
+        lig_t[i, :nf] = rng.integers(0, num_fg_types, nf)
+        lig_mask[i, :nf] = True
+        res_pos[i, :nr] = rng.normal(scale=6.0, size=(nr, 1, 3)) + \
+            rng.normal(scale=1.0, size=(nr, 15, 3))
+        res_mask_ha[i, :nr, :4] = True
+        res_aa[i, :nr] = rng.integers(0, 20, nr)
+        res_nb[i, :nr] = np.arange(nr)
+        res_mask[i, :nr] = True
+        rec_type[i, :nr] = num_fg_types + res_aa[i, :nr]
+    ligand = FGNodes(pos=jnp.asarray(lig_pos), orient=jnp.asarray(lig_o),
+                     type_fg=jnp.asarray(lig_t), mask=jnp.asarray(lig_mask),
+                     gen_flag=jnp.asarray(lig_mask))
+    residues = ResidueNodes(
+        pos_heavyatom=jnp.asarray(res_pos),
+        mask_heavyatom=jnp.asarray(res_mask_ha), aa=jnp.asarray(res_aa),
+        res_nb=jnp.asarray(res_nb), chain_nb=jnp.asarray(chain_nb),
+        mask=jnp.asarray(res_mask))
+    return FGBatch(ligand=ligand, residues=residues,
+                   rec_type=jnp.asarray(rec_type),
+                   translation=jnp.zeros((b, 3)))

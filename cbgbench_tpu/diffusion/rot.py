@@ -26,10 +26,13 @@ class RotVPScheduler:
     def create(num_timesteps: int, beta_start: float = 1e-7,
                beta_end: float = 2e-3, kind: str = "sigmoid",
                cosine_s: float = 0.008) -> "RotVPScheduler":
+        from .schedules import make_beta_schedule
         tables = VPTables.create(kind, num_timesteps, beta_start, beta_end,
                                  cosine_s)
-        ac = np.asarray(tables.alphas_cumprod)
-        betas = np.asarray(tables.betas)
+        # recompute in numpy (under jit-trace the jnp tables are tracers)
+        betas = make_beta_schedule(kind, num_timesteps, beta_start, beta_end,
+                                   cosine_s)
+        ac = np.cumprod(1.0 - betas)
         c1 = np.sqrt(1 - ac)
         sigmas = np.zeros_like(betas)
         for i in range(1, len(betas)):

@@ -189,8 +189,11 @@ class VariationalScheduler:
         est = z_h * norm_value
         centered = est - 1
         cdf = lambda v: 0.5 * (1.0 + jax.lax.erf(v / math.sqrt(2)))  # noqa: E731
-        logp = jnp.log(cdf((centered + 0.5) / sigma_0)
-                       - cdf((centered - 0.5) / sigma_0) + epsilon)
+        # clamp: f32 erf can be microscopically non-monotone when saturated,
+        # making the probability-mass difference slightly negative -> NaN log
+        diff = jnp.maximum(cdf((centered + 0.5) / sigma_0)
+                           - cdf((centered - 0.5) / sigma_0), 0.0)
+        logp = jnp.log(diff + epsilon)
         logZ = jax.scipy.special.logsumexp(logp, axis=-1, keepdims=True)
         log_probs = logp - logZ
         m = gen_flag.astype(logp.dtype)

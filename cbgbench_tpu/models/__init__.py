@@ -1,2 +1,2 @@
 from ._base import get_model, sample_time  # noqa: F401
-from . import targetdiff  # noqa: F401  (registration side effects)
+from . import targetdiff, diffbp, diffsbdd, d3fg  # noqa: F401  (registration)

@@ -1,0 +1,283 @@
+"""DiffBP: zero-CoM decomposed coordinate diffusion + absorbing-state types.
+
+TPU-native rebuild of the reference DiffBP
+(reference: repo/models/diffusion/diffbp.py:104-299): forward noise is
+split into a per-graph CoM component and a zero-CoM residual; the denoiser
+predicts the residual, a separate CoMPredictor head (3 H2X layers over the
+composed graph) predicts the CoM shift. Types use absorbing-state masking
+diffusion; an interior (pocket-overlap) regularizer keeps the denoised mean
+inside the pocket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..diffusion import CTNVPScheduler, MaskTypeScheduler
+from ..nn.attention import H2XAttention
+from ..nn.common import MLP
+from ..nn.embedders import PLContextEmbedder, aa_onehot, protein_atom_features
+from ..nn.unitransformer import UniTransformer, build_edge_type
+from ..ops.knn import gather_neighbors_multi, knn_neighbors
+from ..ops.rbf import GaussianSmearingTable
+from ..ops.segment import masked_mean
+from ..utils.geometry import safe_norm
+from ..utils.registry import MODELS
+from ..constants.molecule import ABSORBING_STATE
+
+
+def interior_loss(x_lig, x_rec, lig_mask, rec_mask, k: int = 48,
+                  rho: float = 2.0, gamma: float = 5.0):
+    """Keep generated atoms inside the pocket
+    (reference: diffbp.py:18-28). The reference sums exp(-d^2/rho) over, for
+    each protein atom, its k nearest ligand atoms; ligands here hold ≤ 64
+    atoms ≤ k, so the dense masked sum is equivalent."""
+    d2 = jnp.sum((x_lig[:, :, None] - x_rec[:, None]) ** 2, axis=-1)
+    w = jnp.exp(-d2 / rho) * rec_mask[:, None, :]
+    per_lig = -rho * jnp.log(jnp.sum(w, axis=-1) + 1e-3)     # [B, NL]
+    loss = jnp.clip(gamma - per_lig, 0.0, None)
+    return masked_mean(loss[..., None], lig_mask, axis=1).mean()
+
+
+class CoMPredictor(nn.Module):
+    """Predict (zero-CoM residual of the coord prediction, CoM shift)
+    (reference: diffbp.py:30-101)."""
+
+    hidden_dim: int = 128
+    n_heads: int = 16
+    num_layers: int = 3
+    k: int = 32
+    r_max: float = 10.0
+
+    @nn.compact
+    def __call__(self, x_lig_pred, x_lig_t, x_comp, h_comp, mask, lig_flag,
+                 gen_flag, lig_mask):
+        nl = x_lig_pred.shape[1]
+        # zero-CoM part of the network's coordinate delta
+        noise_pred = x_lig_pred - x_lig_t
+        com = masked_mean(noise_pred, lig_mask, axis=1, keepdims=True)
+        noise_pred = jnp.where(lig_mask[..., None], noise_pred - com, 0.0)
+
+        idx, valid = knn_neighbors(x_comp, mask, self.k)
+        edge_attr = build_edge_type(lig_flag, idx, valid)
+        rel = x_comp[:, :, None] - gather_neighbors_multi([x_comp], idx)[0]
+        dist = safe_norm(rel, axis=-1, keepdims=True)
+        rbf = GaussianSmearingTable(0.0, self.r_max, 20)(dist)
+        e_w = nn.sigmoid(MLP(1, 160, name="dist_emb_mlp")(rbf))
+
+        x_out = x_comp
+        for i in range(self.num_layers):
+            x_src, h_src = gather_neighbors_multi([x_out, h_comp], idx)
+            rel_x = x_out[:, :, None] - x_src
+            h_dst = jnp.broadcast_to(h_comp[:, :, None], h_src.shape)
+            delta = H2XAttention(hidden_dim=self.hidden_dim,
+                                 n_heads=self.n_heads, r_max=self.r_max,
+                                 name=f"h2x_{i}")(
+                rel_x, h_dst, h_src, edge_attr, valid, e_w)
+            x_out = x_out + delta * gen_flag.astype(x_out.dtype)[..., None]
+
+        delta_lig = (x_out - x_comp)[:, :nl]
+        com_shift = masked_mean(delta_lig, lig_mask, axis=1, keepdims=True)
+        com_shift = jnp.broadcast_to(com_shift, delta_lig.shape)
+        return noise_pred, com_shift
+
+
+class DiffBP(nn.Module):
+    num_classes: int = 13
+    num_timesteps: int = 1000
+    denoise_structure: bool = True
+    denoise_atom: bool = True
+    time_sampler: str = "symmetric"
+    emb_dim: int = 128
+    time_kind: Optional[str] = None
+    num_layers: int = 9
+    num_layers_com: int = 3
+    n_heads: int = 16
+    k: int = 32
+    r_max: float = 10.0
+    pos_beta_start: float = 1e-7
+    pos_beta_end: float = 2e-3
+    pos_schedule: str = "sigmoid"
+    intersect_reg: bool = True
+    loss_weights: tuple = (("pos", 1.0), ("atom", 100.0), ("com", 1.0),
+                           ("inter", 1.0))
+
+    @classmethod
+    def from_config(cls, cfg) -> "DiffBP":
+        gen = cfg["generator"]
+        enc = cfg["encoder"]
+        emb = cfg.get("embedder", {})
+        lw = cfg.get("loss_weights", {})
+        return cls(
+            num_classes=cfg["num_atomtype"],
+            num_timesteps=gen["num_diffusion_timesteps"],
+            denoise_structure=gen.get("denoise_structure", True),
+            denoise_atom=gen.get("denoise_atom", True),
+            time_sampler=gen.get("time_sampler", "symmetric"),
+            emb_dim=emb.get("emb_dim", 128),
+            num_layers=enc.get("num_layers", 9),
+            num_layers_com=enc.get("num_layers_com", 3),
+            n_heads=enc.get("n_heads", 16),
+            k=enc.get("k", 32),
+            r_max=enc.get("r_max", 10.0),
+            pos_beta_start=gen["pos_schedule"].get("beta_start", 1e-7),
+            pos_beta_end=gen["pos_schedule"].get("beta_end", 2e-3),
+            pos_schedule=gen["pos_schedule"].get("type", "sigmoid"),
+            intersect_reg=cfg.get("intersect_reg", True),
+            loss_weights=tuple(sorted({**dict(cls.loss_weights),
+                                       **dict(lw)}.items())),
+        )
+
+    def setup(self):
+        self.pos_scheduler = CTNVPScheduler.create(
+            self.num_timesteps, self.pos_beta_start, self.pos_beta_end,
+            self.pos_schedule)
+        self.type_scheduler = MaskTypeScheduler(
+            num_timesteps=self.num_timesteps, num_classes=self.num_classes,
+            absorbing_state=ABSORBING_STATE)
+        self.embedder = PLContextEmbedder(
+            emb_dim=self.emb_dim, num_atom_classes=self.num_classes,
+            time_kind=self.time_kind)
+        self.denoiser = UniTransformer(
+            num_classes=self.num_classes, num_layers=self.num_layers,
+            hidden_dim=self.emb_dim, n_heads=self.n_heads, k=self.k,
+            r_max=self.r_max)
+        self.com_head = CoMPredictor(hidden_dim=self.emb_dim,
+                                     n_heads=self.n_heads,
+                                     num_layers=self.num_layers_com,
+                                     k=self.k, r_max=self.r_max)
+
+    def denoise(self, x_lig, c_lig, batch, t):
+        """-> (eps_lig_pred zero-CoM, com_shift_pred, c_lig_pred logits)."""
+        lig, rec = batch.ligand, batch.protein
+        nl = lig.capacity
+        v_rec = protein_atom_features(rec.element, rec.is_backbone)
+        aa = aa_onehot(rec.aa)
+        h_lig, h_rec = self.embedder(c_lig, v_rec, aa, lig.mask, rec.mask, t)
+
+        x = jnp.concatenate([x_lig, rec.pos], axis=1)
+        h = jnp.concatenate([h_lig, h_rec], axis=1)
+        mask = jnp.concatenate([lig.mask, rec.mask], axis=1)
+        lig_flag = jnp.concatenate([lig.mask, jnp.zeros_like(rec.mask)], 1)
+        gen_flag = jnp.concatenate([lig.gen_flag, jnp.zeros_like(rec.mask)], 1)
+
+        x_out, h_out, c_out = self.denoiser(x, h, mask, lig_flag, gen_flag)
+        eps_pred, com_pred = self.com_head(
+            x_out[:, :nl], x_lig, x, h_out, mask, lig_flag, gen_flag,
+            lig.mask & lig.gen_flag)
+        return eps_pred, com_pred, c_out[:, :nl]
+
+    def get_loss(self, batch, t, rng):
+        lig, rec = batch.ligand, batch.protein
+        k_pos, k_type = jax.random.split(rng)
+        x0, v0, gen = lig.pos, lig.atype, lig.gen_flag & lig.mask
+
+        if self.denoise_structure:
+            x_t, pos_noise, com_noise = self.pos_scheduler.forward_add_noise(
+                k_pos, x0, t, gen, zero_center=True, mask=gen)
+        else:
+            x_t, pos_noise, com_noise = x0, jnp.zeros_like(x0), jnp.zeros_like(x0)
+
+        if self.denoise_atom:
+            v_t, c_t, diff_mask = self.type_scheduler.forward_add_noise(
+                k_type, v0, t, gen)
+        else:
+            c_t = jax.nn.one_hot(v0, self.num_classes)
+            v_t, diff_mask = v0, gen
+
+        eps_pred, com_pred, c_pred = self.denoise(x_t, c_t, batch, t)
+
+        results = {}
+        losses = {}
+        if self.denoise_structure:
+            loss_pos, pos_info = self.pos_scheduler.get_score_loss(
+                eps_pred, pos_noise, t, gen)
+            loss_com, com_info = self.pos_scheduler.get_score_loss(
+                com_pred, com_noise, t, gen, info_tag="com")
+            results.update(pos_info)
+            results.update(com_info)
+            losses["pos"], losses["com"] = loss_pos, loss_com
+        else:
+            losses["pos"] = losses["com"] = jnp.zeros(())
+
+        if self.denoise_atom:
+            loss_atom, atom_info = self.type_scheduler.get_loss(
+                c_pred, v0, v_t, t, diff_mask & gen)
+            results.update(atom_info)
+            losses["atom"] = loss_atom
+        else:
+            losses["atom"] = jnp.zeros(())
+
+        if self.intersect_reg:
+            xs_mean = self.pos_scheduler.xs_mean(
+                eps_pred + com_pred, x_t, t, gen, pred_type="score")
+            losses["inter"] = interior_loss(xs_mean, rec.pos, gen, rec.mask)
+        else:
+            losses["inter"] = jnp.zeros(())
+        return losses, results
+
+    def __call__(self, batch, t, rng):
+        return self.get_loss(batch, t, rng)
+
+    def weighted_loss(self, loss_dict):
+        w = dict(self.loss_weights)
+        return sum(w.get(k, 1.0) * v for k, v in loss_dict.items())
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_steps"))
+def _sample_chunk(model: DiffBP, params, batch, carry, t_hi, n_steps):
+    lig = batch.ligand
+    gen = lig.gen_flag & lig.mask
+    pos_sched = CTNVPScheduler.create(
+        model.num_timesteps, model.pos_beta_start, model.pos_beta_end,
+        model.pos_schedule)
+    type_sched = MaskTypeScheduler(
+        num_timesteps=model.num_timesteps, num_classes=model.num_classes,
+        absorbing_state=ABSORBING_STATE)
+
+    def step(carry, i):
+        x, c, key = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        t = jnp.full((x.shape[0],), t_hi - i, jnp.int32)
+        eps_pred, com_pred, c_pred = model.apply(params, x, c, batch, t,
+                                                 method="denoise")
+        if model.denoise_structure:
+            x_next = pos_sched.backward_remove_noise(
+                k1, eps_pred + com_pred, x, t, gen, pred_type="score")
+        else:
+            x_next = x
+        if model.denoise_atom:
+            c_next, _ = type_sched.backward_remove_noise(k2, c_pred, c, t, gen)
+        else:
+            c_next = c
+        return (x_next, c_next, key), None
+
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_steps))
+    return carry
+
+
+def sample_diffbp(model: DiffBP, params, batch, rng, chunk_size: int = 100):
+    """Absorbing-type prior: all generated types start at the absorbing
+    class (reference config assign_atomtype distribution=absorbing)."""
+    lig = batch.ligand
+    c_in = jax.nn.one_hot(lig.atype, model.num_classes)
+    carry = (lig.pos, c_in, rng)
+    t_hi = model.num_timesteps - 1
+    while t_hi >= 0:
+        n = min(chunk_size, t_hi + 1)
+        carry = _sample_chunk(model, params, batch, carry,
+                              jnp.asarray(t_hi, jnp.int32), n)
+        jax.block_until_ready(carry[0])
+        t_hi -= n
+    x_fin, c_fin, _ = carry
+    return {"pos": x_fin, "atype": jnp.argmax(c_fin, -1), "c": c_fin}
+
+
+@MODELS.register("diffbp")
+def _build_diffbp(cfg):
+    return DiffBP.from_config(cfg)

@@ -42,6 +42,9 @@ while True:
     old = sys.stdout
     sys.stdout = out_f
     fatal = False
+    # fresh project code each job (the repo is edited between jobs)
+    for mod in [m for m in list(sys.modules) if m.startswith("cbgbench_tpu")]:
+        del sys.modules[mod]
     try:
         code = open(path).read()
         exec(compile(code, name, "exec"), G)
