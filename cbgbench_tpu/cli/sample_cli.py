@@ -1,0 +1,131 @@
+"""Sampling CLI: per-pocket generation + reconstruction + SDF export
+(reference: sample.py + generate.sh).
+
+Usage: python -m cbgbench_tpu.cli.sample_cli --config configs/denovo/test/targetdiff.yml \
+           --checkpoint logs/<run>/checkpoints [--out_root results] \
+           [--num_samples 16] [--batch_size 16] [--index 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+
+SAMPLERS = {}
+
+
+def _register_samplers():
+    from ..models.targetdiff import sample_targetdiff
+    from ..models.diffbp import sample_diffbp
+    from ..models.diffsbdd import sample_diffsbdd
+    from ..models.d3fg import sample_d3fg
+    SAMPLERS.update({"targetdiff": sample_targetdiff, "diffbp": sample_diffbp,
+                     "diffsbdd": sample_diffsbdd, "difffg": sample_d3fg,
+                     "difffg_v2": sample_d3fg})
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint step dir or checkpoints/ dir (latest)")
+    p.add_argument("--out_root", default="./results")
+    p.add_argument("--num_samples", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--index", type=int, default=None,
+                   help="sample only this test-pocket index")
+    p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--lig_cap", type=int, default=96)
+    p.add_argument("--rec_cap", type=int, default=928)
+    args = p.parse_args(argv)
+
+    if args.device == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from ..chem import evaluate_validity, reconstruct_molecule, write_sdf
+    from ..data.dataset import RawPairDataset, repeat_for_sampling
+    from ..data.transforms import compose
+    from ..models import get_model, sample_time
+    from ..train import TrainState, get_optimizer
+    from ..train.checkpoint import load_checkpoint
+    from ..utils.config import Config, load_config
+    from .train_cli import build_dataset, _SUPPORTED_TRANSFORMS
+
+    logging.basicConfig(force=True, level=logging.INFO, format="[%(asctime)s] %(message)s")
+    log = logging.getLogger("sample")
+    _register_samplers()
+
+    cfg = load_config(args.config)
+    state_raw, meta = load_checkpoint(args.checkpoint)
+    train_cfg = Config(meta["config"])
+    model_cfg = train_cfg["model"]
+    model = get_model(model_cfg)
+    params = state_raw["params"]
+    log.info("loaded %s checkpoint at iter %d", model_cfg["type"],
+             meta["iteration"])
+
+    mode = model_cfg.get("mode", "add_aromatic")
+    data_cfg = cfg["data"]["test"]
+    transform = compose([dict(t) for t in data_cfg.get("transform", [])
+                         if t["type"] in _SUPPORTED_TRANSFORMS])
+    ds = build_dataset({**data_cfg, "transform": []}, mode)
+    ds.transform = None
+
+    num_samples = args.num_samples or cfg.get("sampling", {}).get(
+        "num_samples", 200)
+    seed = cfg.get("sampling", {}).get("seed", 2022)
+    sampler = SAMPLERS[model_cfg["type"]]
+
+    indices = [args.index] if args.index is not None else range(len(ds))
+    os.makedirs(args.out_root, exist_ok=True)
+    summary = []
+    for i in indices:
+        name = os.path.splitext(os.path.basename(ds.pairs[i][1]))[0]
+        out_dir = os.path.join(args.out_root, f"{i:04d}_{name}")
+        os.makedirs(out_dir, exist_ok=True)
+        t_start = time.time()
+        n_done = n_valid = 0
+        mols = []
+        for bi, batch in enumerate(repeat_for_sampling(
+                ds, i, num_samples, args.batch_size, transform, seed=seed,
+                lig_cap=args.lig_cap, rec_cap=args.rec_cap)):
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed), bi * 1000 + i)
+            out = sampler(model, params, batch, rng)
+            pos = np.asarray(out["pos"]) + np.asarray(
+                batch.translation)[:, None]
+            atype = np.asarray(out["atype"])
+            mask = np.asarray(batch.ligand.mask)
+            for s in range(pos.shape[0]):
+                if n_done >= num_samples:
+                    break
+                n_done += 1
+                try:
+                    mol = reconstruct_molecule(pos[s][mask[s]],
+                                               atype[s][mask[s]], mode=mode)
+                    frag, ok = evaluate_validity(mol)
+                except Exception:
+                    ok = False
+                if ok:
+                    write_sdf(os.path.join(out_dir, f"{n_valid}.sdf"), frag)
+                    mols.append(frag)
+                    n_valid += 1
+        dt = time.time() - t_start
+        log.info("pocket %d (%s): %d/%d valid | %.1fs | %.2f mol/s", i, name,
+                 n_valid, n_done, dt, n_done / max(dt, 1e-9))
+        summary.append({"index": int(i), "name": name, "n_samples": n_done,
+                        "n_valid": n_valid, "seconds": dt})
+    with open(os.path.join(args.out_root, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

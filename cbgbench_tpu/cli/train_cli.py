@@ -1,0 +1,162 @@
+"""Training CLI: config-driven train loop with validation, plateau LR,
+checkpointing (reference: train.py).
+
+Usage: python -m cbgbench_tpu.cli.train_cli --config configs/denovo/train/targetdiff.yml \
+           --logdir logs [--max_iters N] [--device cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+
+def build_dataset(data_cfg, mode: str):
+    from ..data.dataset import RawPairDataset, example_pairs, scan_pair_dir
+    from ..data.transforms import compose
+
+    raw_path = data_cfg.get("raw_path", "assets/examples")
+    if os.path.isdir(raw_path):
+        pairs = scan_pair_dir(raw_path)
+    else:
+        pairs = example_pairs()
+    transform = compose([dict(t) for t in data_cfg.get("transform", [])
+                         if t["type"] in _SUPPORTED_TRANSFORMS])
+    return RawPairDataset(pairs, transform=transform, mode=mode,
+                          pocket_radius=data_cfg.get("pocket_radius", 0.0))
+
+
+_SUPPORTED_TRANSFORMS = {
+    "center_pos", "center_whole_pos", "add_pos_noise", "remove_ligand",
+    "assign_molsize", "assign_atomtype", "assign_molpos", "assign_linkernum",
+    "random_mask", "bfs_mask", "mixed_mask", "select_linker", "select_frag",
+    "select_scaffold", "select_sidechain",
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--logdir", default="./logs")
+    p.add_argument("--tag", default="")
+    p.add_argument("--max_iters", type=int, default=None)
+    p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--resume", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lig_cap", type=int, default=96)
+    p.add_argument("--rec_cap", type=int, default=928)
+    args = p.parse_args(argv)
+
+    if args.device == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import get_model, sample_time
+    from ..train import (PlateauController, TrainState, get_optimizer,
+                         make_train_step, make_eval_step)
+    from ..train.checkpoint import load_checkpoint, save_checkpoint
+    from ..train.optim import set_learning_rate
+    from ..utils.config import load_config, set_derived_fields
+    from ..data.dataset import make_loader
+
+    cfg = set_derived_fields(load_config(args.config))
+    train_cfg = cfg["train"]
+    if args.batch_size:
+        train_cfg["batch_size"] = args.batch_size
+    if args.max_iters is not None:
+        train_cfg["max_iters"] = args.max_iters
+    cfg["model"]["loss_weights"] = train_cfg.get("loss_weights", {})
+
+    method = cfg["model"]["type"]
+    run_name = args.tag or time.strftime(f"{method}_%Y_%m_%d__%H_%M_%S")
+    logdir = os.path.join(args.logdir, run_name)
+    os.makedirs(logdir, exist_ok=True)
+    logging.basicConfig(
+        force=True, level=logging.INFO, format="[%(asctime)s] %(message)s",
+        handlers=[logging.StreamHandler(),
+                  logging.FileHandler(os.path.join(logdir, "train.log"))])
+    log = logging.getLogger("train")
+    log.info("devices: %s", jax.devices())
+    with open(os.path.join(logdir, "config.json"), "w") as f:
+        json.dump(cfg.to_dict(), f, indent=1, default=str)
+
+    model = get_model(cfg["model"])
+    mode = cfg["model"].get("mode", "add_aromatic")
+    ds = build_dataset(cfg["data"]["train"], mode)
+    loader = make_loader(ds, train_cfg["batch_size"], lig_cap=args.lig_cap,
+                         rec_cap=args.rec_cap,
+                         seed=train_cfg.get("seed", 2022))
+    val_loader = make_loader(ds, train_cfg["batch_size"],
+                             lig_cap=args.lig_cap, rec_cap=args.rec_cap,
+                             seed=123)
+
+    rng = jax.random.PRNGKey(train_cfg.get("seed", 2022))
+    batch0 = next(loader)
+    b = batch0.ligand.pos.shape[0]
+    t0 = sample_time(rng, b, model.num_timesteps, model.time_sampler)
+    params = jax.jit(model.init)(rng, batch0, t0, rng)
+    n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
+    log.info("model %s: %.2fM params", method, n_params / 1e6)
+
+    opt_cfg = cfg["train"]["optimizer"]
+    tx = get_optimizer(opt_cfg, max_grad_norm=train_cfg.get("max_grad_norm"))
+    state = TrainState.create(params, tx)
+    plateau = PlateauController(
+        opt_cfg.get("lr", 5e-4),
+        factor=train_cfg.get("scheduler", {}).get("factor", 0.6),
+        patience=train_cfg.get("scheduler", {}).get("patience", 10),
+        min_lr=train_cfg.get("scheduler", {}).get("min_lr", 1e-6))
+
+    start_it = 0
+    if args.resume:
+        state, meta = load_checkpoint(args.resume, state)
+        start_it = meta["iteration"]
+        plateau.load_state_dict(meta.get("plateau") or plateau.state_dict())
+        log.info("resumed from %s at iter %d", args.resume, start_it)
+
+    step_fn = make_train_step(model, tx)
+    eval_fn = make_eval_step(model, cfg.get("eval", {}).get("eval_interval", 10))
+    ckpt_dir = os.path.join(logdir, "checkpoints")
+
+    max_iters = train_cfg.get("max_iters", 1000)
+    report = train_cfg.get("report_freq", 100)
+    val_freq = cfg.get("eval", {}).get("val_freq", 1000)
+    t_start = time.time()
+    best_val = float("inf")
+    for it in range(start_it + 1, max_iters + 1):
+        state, metrics = step_fn(state, next(loader), rng)
+        if it % report == 0 or it == 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            rate = report / max(time.time() - t_start, 1e-9)
+            t_start = time.time()
+            log.info("iter %d | %s | %.2f it/s | lr %.2e", it,
+                     " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())),
+                     rate, plateau.lr)
+        if it % val_freq == 0:
+            vm = eval_fn(state.params, next(val_loader), rng)
+            val_loss = float(vm["loss"])
+            log.info("validate iter %d | %s", it,
+                     " ".join(f"{k}={float(v):.4f}" for k, v in sorted(vm.items())))
+            new_lr = plateau.step(val_loss)
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, new_lr))
+            if val_loss < best_val:
+                best_val = val_loss
+                path = save_checkpoint(ckpt_dir, it, state, cfg.to_dict(),
+                                       plateau.state_dict(), val_loss)
+                log.info("saved checkpoint %s (val %.4f)", path, val_loss)
+    save_checkpoint(ckpt_dir, max_iters, state, cfg.to_dict(),
+                    plateau.state_dict(), best_val)
+    log.info("done: %d iters", max_iters)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -157,3 +157,32 @@ def repeat_for_sampling(dataset: RawPairDataset, index: int,
         while len(buf) < batch_size:
             buf.append(buf[-1])
         yield stack_batch(buf, lig_cap=lig_cap, rec_cap=rec_cap)
+
+
+def scan_pair_dir(root: str) -> List[Tuple[str, str]]:
+    """Scan a directory tree for (pocket pdb, ligand sdf) pairs.
+
+    Handles the CrossDocked pocket10 layout (<name>_pocket10.pdb next to
+    <name>.sdf in per-target subdirs) and the assets/examples layout
+    (*_protein.pdb + *_ligand.sdf)."""
+    pairs: List[Tuple[str, str]] = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        pdbs = [f for f in filenames if f.endswith(".pdb")]
+        sdfs = [f for f in filenames if f.endswith(".sdf")
+                and "frag" not in f.lower()]
+        if not pdbs or not sdfs:
+            continue
+        for sdf in sorted(sdfs):
+            stem = sdf[:-4].replace("_ligand", "")
+            best = None
+            for pdb in pdbs:
+                p = pdb[:-4]
+                if p.startswith(stem) or stem.startswith(p.split("_pocket")[0]) \
+                        or p.replace("_protein", "") == stem:
+                    best = pdb
+                    break
+            if best is None:
+                best = sorted(pdbs)[0]
+            pairs.append((os.path.join(dirpath, best),
+                          os.path.join(dirpath, sdf)))
+    return sorted(pairs)
