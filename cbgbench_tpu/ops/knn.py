@@ -127,3 +127,19 @@ def hybrid_neighbors(pos, mask, lig_flag, k: int):
     valid = jnp.concatenate([-neg1, -neg2], axis=-1) < _BIG * 0.5
     valid = valid & mask[..., :, None]
     return idx, valid
+
+
+def knn_cross(query_pos, ctx_pos, query_mask, ctx_mask, k: int):
+    """For each query, indices of its k nearest valid context nodes
+    (replaces torch_cluster.knn(x=ctx, y=query) — reference:
+    predict_heads.py:244-246). Returns (idx [B, NQ, K], valid [B, NQ, K])."""
+    sq_q = jnp.sum(query_pos * query_pos, axis=-1)
+    sq_c = jnp.sum(ctx_pos * ctx_pos, axis=-1)
+    cross = jnp.einsum("...qd,...cd->...qc", query_pos, ctx_pos)
+    d2 = jnp.maximum(sq_q[..., :, None] + sq_c[..., None, :] - 2 * cross, 0.0)
+    inval = ~(query_mask[..., :, None] & ctx_mask[..., None, :])
+    d2 = jnp.where(inval, _BIG, d2)
+    neg, idx = jax.lax.top_k(-d2, k)
+    valid = (-neg) < _BIG * 0.5
+    valid = valid & query_mask[..., :, None]
+    return idx.astype(jnp.int32), valid
