@@ -1,0 +1,191 @@
+"""GraphBP sequencer (host-side numpy).
+
+Rewrite of the reference's Prim's-MST atom ordering + per-step internal
+coordinate supervision (reference: repo/datasets/transforms/permutate.py:
+8-254, sequential_sampler.py:8-86). Each training row is ONE generation
+step of one molecule: the partial structure (protein ∪ ligand-context ∪
+first i generated atoms) plus (focus, c1, c2, d, angle, torsion, new type)
+targets and the focus/contact classifier labels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..constants.molecule import MAX_VALENCE
+
+
+def prim_order(dist: np.ndarray):
+    """Prim's MST ordering from node 0. Returns (order, parent_of_ordered)
+    where parent is in ORIGINAL index space (reference: permutate.py:26-33)."""
+    n = len(dist)
+    in_tree = np.zeros(n, bool)
+    in_tree[0] = True
+    order = [0]
+    parents = []
+    best = dist[0].copy()
+    best_parent = np.zeros(n, int)
+    for _ in range(n - 1):
+        cand = np.where(~in_tree, best, np.inf)
+        j = int(np.argmin(cand))
+        order.append(j)
+        parents.append(int(best_parent[j]))
+        in_tree[j] = True
+        upd = dist[j] < best
+        best = np.where(upd, dist[j], best)
+        best_parent = np.where(upd, j, best_parent)
+    return np.array(order, int), np.array(parents, int)
+
+
+def internal_coords(new_pos, f_pos, c1_pos, c2_pos):
+    """(d, angle, torsion) of new_pos w.r.t. frame (focus, c1, c2)
+    (reference: permutate.py:121-137)."""
+    d = float(np.linalg.norm(new_pos - f_pos))
+    a = float(np.dot(c1_pos - f_pos, new_pos - f_pos))
+    b = float(np.linalg.norm(np.cross(c1_pos - f_pos, new_pos - f_pos)))
+    angle = float(np.arctan2(b, a))
+    plane1 = np.cross(f_pos - c1_pos, new_pos - c1_pos)
+    plane2 = np.cross(f_pos - c1_pos, c2_pos - c1_pos)
+    aa = float(np.dot(plane1, plane2))
+    bb = float(np.dot(np.cross(plane1, plane2), f_pos - c1_pos)
+               / (np.linalg.norm(f_pos - c1_pos) + 1e-12))
+    torsion = float(np.arctan2(bb, aa))
+    return d, angle, torsion
+
+
+@struct.dataclass
+class GraphBPBatch:
+    z: jnp.ndarray            # [B, N] merged type vocab (lig | offset+rec)
+    pos: jnp.ndarray          # [B, N, 3]
+    mask: jnp.ndarray         # [B, N]
+    gen_flag: jnp.ndarray     # [B, N]   placed generated atoms
+    cannot_focus: jnp.ndarray  # [B, N]  label per placed gen atom
+    focus: jnp.ndarray        # [B]     node index of focus
+    c1: jnp.ndarray           # [B]
+    c2: jnp.ndarray           # [B]
+    new_type: jnp.ndarray     # [B]
+    new_dist: jnp.ndarray     # [B]
+    new_angle: jnp.ndarray    # [B]
+    new_torsion: jnp.ndarray  # [B]
+    is_first_step: jnp.ndarray  # [B] (contact supervision applies)
+    contact_idx: jnp.ndarray  # [B, 2]  (contact, non-contact) node ids
+    contact_label: jnp.ndarray  # [B, 2]
+    translation: jnp.ndarray  # [B, 3]
+
+    @property
+    def batch_size(self):
+        return self.z.shape[0]
+
+
+def build_graphbp_sample(sample: dict, rng: np.random.Generator,
+                         num_atom_types: int = 13,
+                         step: Optional[int] = None) -> dict:
+    """Featurized (ligand, protein) -> one random-step GraphBP row (numpy)."""
+    lig, rec = sample["ligand"], sample["protein"]
+    pos_gen = lig["pos"]
+    types_gen = lig["atype"]
+    n_gen = len(types_gen)
+    rec_pos = rec["pos"]
+    rec_z = rec["element"] + num_atom_types      # offset protein vocab
+
+    # valency from bonds
+    n = n_gen
+    con = np.zeros((n, n), int)
+    bi, bt = lig.get("bond_index"), lig.get("bond_type")
+    if bi is not None and bi.size:
+        con[bi[0], bi[1]] = bt
+        con[bi[1], bi[0]] = bt
+    valency = con.sum(1)
+
+    # contact ids
+    d_gc = np.linalg.norm(pos_gen[:, None] - rec_pos[None], axis=-1)
+    gen_contact = int(np.unravel_index(np.argmin(d_gc), d_gc.shape)[0])
+    ctx_contact = int(np.unravel_index(np.argmin(d_gc), d_gc.shape)[1])
+    ctx_noncontact = int(np.argmax(d_gc.sum(0)))
+
+    # reorder: contact gen atom first, then Prim over gen-gen distances
+    perm0 = np.arange(n)
+    perm0[0], perm0[gen_contact] = gen_contact, 0
+    d_gg = np.linalg.norm(pos_gen[:, None] - pos_gen[None], axis=-1)
+    d_gg = d_gg[perm0][:, perm0]
+    order, parents = prim_order(d_gg)
+    full_order = perm0[order]
+    pos_o = pos_gen[full_order]
+    types_o = types_gen[full_order]
+    val_o = valency[full_order]
+    con_o = con[full_order][:, full_order]
+
+    i = int(rng.integers(0, n)) if step is None else step   # step index
+
+    # nodes: rec ∪ placed gen[0:i]
+    nodes_pos = np.concatenate([rec_pos, pos_o[:i]])
+    nodes_z = np.concatenate([rec_z, types_o[:i]])
+    gen_flag = np.concatenate([np.zeros(len(rec_pos), bool), np.ones(i, bool)])
+
+    # focus/c1/c2 + internal coords for placing atom i
+    if i == 0:
+        f = ctx_contact
+        d_to_f = np.linalg.norm(rec_pos - rec_pos[f], axis=-1)
+        near = np.argsort(d_to_f)
+        c1_, c2_ = int(near[1]), int(near[2])
+    else:
+        # parent (focus) of ordered atom i in the placed prefix
+        parent_ordered = int(np.where(order == parents[i - 1])[0][0]) \
+            if i - 1 < len(parents) else 0
+        f = len(rec_pos) + parent_ordered
+        d_to_f = np.linalg.norm(nodes_pos - nodes_pos[f], axis=-1)
+        d_to_f[f] = np.inf
+        near = np.argsort(d_to_f)
+        c1_, c2_ = int(near[0]), int(near[1])
+    d, angle, torsion = internal_coords(pos_o[i], nodes_pos[f],
+                                        nodes_pos[c1_], nodes_pos[c2_])
+
+    # cannot-focus labels for placed gen atoms: all bonds used up
+    bond_used = con_o[:i, :i].sum(1)
+    cannot_focus = np.zeros(len(nodes_pos), np.float32)
+    cannot_focus[len(rec_pos):] = (bond_used >= val_o[:i]).astype(np.float32)
+
+    return {
+        "z": nodes_z, "pos": nodes_pos, "gen_flag": gen_flag,
+        "cannot_focus": cannot_focus, "focus": f, "c1": c1_, "c2": c2_,
+        "new_type": int(types_o[i]), "new_dist": d, "new_angle": angle,
+        "new_torsion": torsion, "is_first_step": i == 0,
+        "contact_idx": np.array([ctx_contact, ctx_noncontact], int),
+        "contact_label": np.array([0.0, 1.0], np.float32),  # cannot_contact
+        "translation": sample.get("translation", np.zeros(3, np.float32)),
+    }
+
+
+def stack_graphbp_batch(samples, cap: int = 512) -> GraphBPBatch:
+    b = len(samples)
+    out = dict(
+        z=np.zeros((b, cap), np.int32), pos=np.zeros((b, cap, 3), np.float32),
+        mask=np.zeros((b, cap), bool), gen_flag=np.zeros((b, cap), bool),
+        cannot_focus=np.zeros((b, cap), np.float32),
+        focus=np.zeros(b, np.int32), c1=np.zeros(b, np.int32),
+        c2=np.zeros(b, np.int32), new_type=np.zeros(b, np.int32),
+        new_dist=np.zeros(b, np.float32), new_angle=np.zeros(b, np.float32),
+        new_torsion=np.zeros(b, np.float32),
+        is_first_step=np.zeros(b, bool),
+        contact_idx=np.zeros((b, 2), np.int32),
+        contact_label=np.zeros((b, 2), np.float32),
+        translation=np.zeros((b, 3), np.float32),
+    )
+    for i, s in enumerate(samples):
+        nn_ = len(s["z"])
+        if nn_ > cap:
+            raise ValueError(f"graph with {nn_} nodes exceeds cap {cap}")
+        out["z"][i, :nn_] = s["z"]
+        out["pos"][i, :nn_] = s["pos"]
+        out["mask"][i, :nn_] = True
+        out["gen_flag"][i, :nn_] = s["gen_flag"]
+        out["cannot_focus"][i, :nn_] = s["cannot_focus"]
+        for k in ("focus", "c1", "c2", "new_type", "new_dist", "new_angle",
+                  "new_torsion", "is_first_step", "contact_idx",
+                  "contact_label", "translation"):
+            out[k][i] = s[k]
+    return GraphBPBatch(**{k: jnp.asarray(v) for k, v in out.items()})

@@ -1,0 +1,334 @@
+"""GraphBP: autoregressive normalizing-flow atom placement.
+
+TPU-native rebuild of the reference GraphBP
+(reference: repo/models/autoregression/graphbp.py): SchNet context
+encoding, four conditional affine-coupling flows (atom type, distance,
+angle, torsion), focus/contact BCE heads, internal-coordinate ->
+Cartesian placement (dattoxyz).
+
+Training uses one-step-per-row padded batches (data/graphbp_seq.py) —
+the reference's step-expanded PyG batch with offset bookkeeping
+(repo/utils/data.py:140-171 GraphBPCollate) becomes plain row indexing.
+The distance/angle conditioning embeddings use Gaussian RBF x Fourier
+features instead of the reference's sympy-generated spherical Bessel
+basis — same dimensionality, MXU-friendly, numerically equivalent role.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..data.graphbp_seq import GraphBPBatch
+from ..nn.common import MLP
+from ..nn.schnet import SchNet
+from ..ops.knn import gather_neighbors
+from ..ops.rbf import GaussianSmearingTable
+from ..ops.segment import masked_mean
+from ..utils.registry import MODELS
+from .pocket2mol import bce_logits
+
+
+class STNetExp(nn.Module):
+    """Affine coupling parameter net (reference: graphbp.py:25-57):
+    s = rescale(tanh(.)), t unconstrained; the rescale weight starts at 0
+    and the output layer at ~0 so the flow starts near identity."""
+
+    out_dim: int
+    hid_dim: int = 64
+
+    @nn.compact
+    def __call__(self, feat):
+        h = nn.tanh(nn.Dense(self.hid_dim)(feat))
+        st = nn.Dense(2 * self.out_dim,
+                      kernel_init=nn.initializers.constant(1e-10))(h)
+        s, t = st[..., :self.out_dim], st[..., self.out_dim:]
+        rescale = self.param("rescale", nn.initializers.zeros, (1,))
+        s = jnp.exp(rescale) * jnp.tanh(s)
+        return s, t
+
+
+def flow_forward(layers, x, feat):
+    log_jacob = 0.0
+    for layer in layers:
+        s, t = layer(feat)
+        s = jnp.exp(s)
+        x = (x + t) * s
+        log_jacob = log_jacob + jnp.log(jnp.abs(s) + 1e-20)
+    return x, log_jacob
+
+
+def flow_reverse(layers, latent, feat):
+    for layer in reversed(layers):
+        s, t = layer(feat)
+        latent = latent / jnp.exp(s) - t
+    return latent
+
+
+def dat_to_xyz(f, c1, c2, d, angle, torsion):
+    """Internal coords -> Cartesian (reference: graphbp.py:79-94)."""
+    c1f = f - c1
+    c1c2 = c2 - c1
+    c3 = c1f * jnp.sum(c1c2 * c1f, -1, keepdims=True) / (
+        jnp.sum(c1f * c1f, -1, keepdims=True) + 1e-12) + c1
+    c3c2 = c2 - c3
+    nrm = lambda v: jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12  # noqa
+    c3c4 = (c3c2 * jnp.cos(torsion[..., None])
+            + jnp.cross(c3c2, c1f) / nrm(c1f) * jnp.sin(torsion[..., None]))
+    new = (-c1f / nrm(c1f) * d[..., None] * jnp.cos(angle[..., None])
+           + c3c4 / nrm(c3c4) * d[..., None] * jnp.sin(angle[..., None]) + f)
+    return new
+
+
+class GraphBP(nn.Module):
+    num_classes: int = 13
+    num_rec_types: int = 6
+    emb_dim: int = 128
+    num_embed_layers: int = 6
+    num_flow_layers: int = 6
+    flow_hid_dim: int = 128
+    deq_coeff: float = 0.9
+    cutoff: float = 10.0
+    k: int = 64
+    loss_weights: tuple = ()
+
+    @classmethod
+    def from_config(cls, cfg):
+        emb = cfg.get("embedder", {})
+        enc = cfg.get("encoder", {})
+        return cls(num_classes=cfg["num_atomtype"],
+                   emb_dim=emb.get("emb_dim", 128),
+                   num_embed_layers=emb.get("num_layers", 6),
+                   num_flow_layers=enc.get("num_layers", 6),
+                   flow_hid_dim=enc.get("node_feat_dim", 128),
+                   deq_coeff=cfg.get("deq_coeff", 0.9),
+                   loss_weights=tuple(sorted(
+                       cfg.get("loss_weights", {}).items())))
+
+    def setup(self):
+        self.embedder = SchNet(
+            num_node_types=self.num_classes + self.num_rec_types,
+            hidden=self.emb_dim, num_interactions=self.num_embed_layers,
+            cutoff=self.cutoff, k=self.k)
+        mk = lambda dim, name: [STNetExp(dim, self.flow_hid_dim,  # noqa
+                                         name=f"{name}_{i}")
+                                for i in range(self.num_flow_layers)]
+        self.node_flow = mk(self.num_classes, "node_flow")
+        self.dist_flow = mk(1, "dist_flow")
+        self.angle_flow = mk(1, "angle_flow")
+        self.torsion_flow = mk(1, "torsion_flow")
+        self.focus_mlp = MLP(1, self.emb_dim * 2, name="focus_mlp")
+        self.contact_mlp = MLP(1, self.emb_dim * 2, name="contact_mlp")
+        self.dist_head = MLP(self.emb_dim, 32, name="dist_head")
+        self.angle_head = MLP(self.emb_dim, 32, name="angle_head")
+        self.dist_rbf = GaussianSmearingTable(0.0, self.cutoff, 16,
+                                              fixed_offset=False)
+
+    def _dist_feat(self, d):
+        return self.dist_rbf(d[..., None])
+
+    def _angle_feat(self, d, angle):
+        k = jnp.arange(1, 8)
+        four = jnp.concatenate([jnp.cos(angle[..., None] * k),
+                                jnp.sin(angle[..., None] * k)], -1)
+        rbf = self.dist_rbf(d[..., None])
+        return (four[..., :, None] * rbf[..., None, :]).reshape(
+            d.shape + (7 * 2 * 16,))
+
+    def _conditioning(self, batch: GraphBPBatch, node_feat, new_type, d,
+                      angle):
+        """Per-row conditioning features for the four flows."""
+        take = lambda arr, i: gather_neighbors(  # noqa: E731
+            arr, i[:, None, None])[:, 0, 0]
+        type_feat = take(node_feat, batch.focus)                # node flow
+        type_emb = self.embedder.type_embedding(new_type)       # [B, H]
+        node_emb = node_feat * type_emb[:, None]
+        dist_feat = take(node_emb, batch.focus)                 # dist flow
+        node_emb = node_emb * self.dist_head(self._dist_feat(d))[:, None]
+        angle_feat = jnp.concatenate(
+            [take(node_emb, batch.focus), take(node_emb, batch.c1)], -1)
+        node_emb = node_emb * self.angle_head(
+            self._angle_feat(d, angle))[:, None]
+        torsion_feat = jnp.concatenate(
+            [take(node_emb, batch.focus), take(node_emb, batch.c1),
+             take(node_emb, batch.c2)], -1)
+        return type_feat, dist_feat, angle_feat, torsion_feat
+
+    def __call__(self, batch: GraphBPBatch, t=None, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        node_feat = self.embedder(batch.z, batch.pos, batch.mask)
+
+        focus_score = nn.sigmoid(self.focus_mlp(node_feat)[..., 0])
+        gen_m = batch.gen_flag & batch.mask
+        loss_focus = masked_mean(
+            (-(batch.cannot_focus * jnp.log(focus_score + 1e-12)
+               + (1 - batch.cannot_focus) * jnp.log(1 - focus_score + 1e-12))
+             )[..., None], gen_m, axis=(1,)).mean()
+
+        contact_feat = gather_neighbors(node_feat, batch.contact_idx)
+        contact_score = nn.sigmoid(self.contact_mlp(contact_feat)[..., 0])
+        contact_bce = -(batch.contact_label * jnp.log(contact_score + 1e-12)
+                        + (1 - batch.contact_label)
+                        * jnp.log(1 - contact_score + 1e-12))
+        first = batch.is_first_step.astype(jnp.float32)
+        loss_contact = (contact_bce.mean(-1) * first).sum() / \
+            jnp.maximum(first.sum(), 1.0)
+
+        # dequantized one-hot for the node flow
+        x_z = jax.nn.one_hot(batch.new_type, self.num_classes)
+        x_z = x_z + self.deq_coeff * jax.random.uniform(rng, x_z.shape)
+
+        feats = self._conditioning(batch, node_feat, batch.new_type,
+                                   batch.new_dist, batch.new_angle)
+        node_lat, node_lj = flow_forward(self.node_flow, x_z, feats[0])
+        dist_lat, dist_lj = flow_forward(self.dist_flow,
+                                         batch.new_dist[:, None], feats[1])
+        angle_lat, angle_lj = flow_forward(self.angle_flow,
+                                           batch.new_angle[:, None], feats[2])
+        tors_lat, tors_lj = flow_forward(self.torsion_flow,
+                                         batch.new_torsion[:, None], feats[3])
+
+        losses = {
+            "node": jnp.mean(0.5 * node_lat ** 2 - node_lj),
+            "dist": jnp.mean(0.5 * dist_lat ** 2 - dist_lj),
+            "angle": jnp.mean(0.5 * angle_lat ** 2 - angle_lj),
+            "torsion": jnp.mean(0.5 * tors_lat ** 2 - tors_lj),
+            "focus": loss_focus, "contact": loss_contact,
+        }
+        results = {"node_latent": node_lat, "focus_score": focus_score,
+                   "mask_gen": gen_m}
+        return losses, results
+
+    def weighted_loss(self, loss_dict):
+        w = dict(self.loss_weights)
+        return sum(w.get(k, 1.0) * v for k, v in loss_dict.items())
+
+    # ------------------------------------------------------------------
+
+    def place_atom(self, batch: GraphBPBatch, rng, stds=(0.5, 0.3, 0.4, 0.1)):
+        """Reverse the flows at the rows' (focus, c1, c2) to place one atom.
+        Returns (new_type [B], new_pos [B,3], focus_ok [B])."""
+        node_feat = self.embedder(batch.z, batch.pos, batch.mask)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        b = batch.z.shape[0]
+
+        # focus viability: any placed gen atom with focus_score(can) OR first
+        focus_score = nn.sigmoid(self.focus_mlp(node_feat)[..., 0])
+        gen_m = batch.gen_flag & batch.mask
+        can_focus = (focus_score < 0.5) & gen_m
+        focus_ok = can_focus.any(axis=1) | batch.is_first_step
+
+        lat = jax.random.normal(k1, (b, self.num_classes)) * stds[0]
+        take = lambda arr, i: gather_neighbors(  # noqa: E731
+            arr, i[:, None, None])[:, 0, 0]
+        type_feat = take(node_feat, batch.focus)
+        z_pred = flow_reverse(self.node_flow, lat, type_feat)
+        new_type = jnp.argmax(z_pred, axis=-1)
+
+        type_emb = self.embedder.type_embedding(new_type)
+        node_emb = node_feat * type_emb[:, None]
+        dist_feat = take(node_emb, batch.focus)
+        d = flow_reverse(self.dist_flow,
+                         jax.random.normal(k2, (b, 1)) * stds[1],
+                         dist_feat)[:, 0]
+        d = jnp.clip(jnp.abs(d), 0.9, 2.2)
+        node_emb = node_emb * self.dist_head(self._dist_feat(d))[:, None]
+        angle_feat = jnp.concatenate(
+            [take(node_emb, batch.focus), take(node_emb, batch.c1)], -1)
+        angle = flow_reverse(self.angle_flow,
+                             jax.random.normal(k3, (b, 1)) * stds[2],
+                             angle_feat)[:, 0]
+        node_emb = node_emb * self.angle_head(
+            self._angle_feat(d, angle))[:, None]
+        torsion_feat = jnp.concatenate(
+            [take(node_emb, batch.focus), take(node_emb, batch.c1),
+             take(node_emb, batch.c2)], -1)
+        torsion = flow_reverse(self.torsion_flow,
+                               jax.random.normal(k4, (b, 1)) * stds[3],
+                               torsion_feat)[:, 0]
+
+        f = take(batch.pos, batch.focus)
+        c1 = take(batch.pos, batch.c1)
+        c2 = take(batch.pos, batch.c2)
+        new_pos = dat_to_xyz(f, c1, c2, d, angle, torsion)
+        return new_type, new_pos, focus_ok, focus_score
+
+    def pick_focus(self, batch: GraphBPBatch, rng):
+        """Choose the next focus among placed gen atoms (lowest
+        cannot-focus score), plus its two nearest placed/ctx neighbors."""
+        node_feat = self.embedder(batch.z, batch.pos, batch.mask)
+        focus_score = nn.sigmoid(self.focus_mlp(node_feat)[..., 0])
+        gen_m = batch.gen_flag & batch.mask
+        score = jnp.where(gen_m, focus_score, 1e9)
+        focus = jnp.argmin(score, axis=1).astype(jnp.int32)
+        d = jnp.linalg.norm(
+            batch.pos - jnp.take_along_axis(batch.pos, focus[:, None, None],
+                                            1), axis=-1)
+        d = jnp.where(batch.mask, d, 1e9)
+        d = d + (jnp.arange(d.shape[1])[None] == focus[:, None]) * 1e9
+        near = jnp.argsort(d, axis=1)
+        return focus, near[:, 0].astype(jnp.int32), near[:, 1].astype(jnp.int32)
+
+
+@MODELS.register("graphbp")
+def _build_graphbp(cfg):
+    return GraphBP.from_config(cfg)
+
+
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _jit_place(model, params, batch, rng):
+    return model.apply(params, batch, rng, method="place_atom")
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _jit_focus(model, params, batch, rng):
+    return model.apply(params, batch, rng, method="pick_focus")
+
+
+def sample_graphbp(model: GraphBP, params, batch: GraphBPBatch, rng,
+                   max_atoms: int = 45, min_atoms: int = 12):
+    """Host growth loop: place atoms until focus exhausts or max_atoms."""
+    import numpy as np
+
+    b = batch.batch_size
+    active = np.ones(b, bool)
+    for it in range(max_atoms):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        if it > 0:
+            focus, c1, c2 = _jit_focus(model, params, batch, k1)
+            batch = batch.replace(focus=focus, c1=c1, c2=c2,
+                                  is_first_step=jnp.zeros(b, bool))
+        new_type, new_pos, focus_ok, _ = _jit_place(model, params, batch, k2)
+        new_type = np.asarray(new_type)
+        new_pos = np.asarray(new_pos)
+        ok = np.asarray(focus_ok)
+        n_placed = np.asarray(batch.gen_flag & batch.mask).sum(1)
+        active &= (ok | (n_placed < min_atoms))
+        if not active.any():
+            break
+        z = np.array(batch.z)
+        pos = np.array(batch.pos)
+        mask = np.array(batch.mask)
+        gen = np.array(batch.gen_flag)
+        cap = z.shape[1]
+        for g in range(b):
+            if not active[g]:
+                continue
+            slot = int(mask[g].sum())
+            if slot >= cap:
+                active[g] = False
+                continue
+            z[g, slot] = new_type[g]
+            pos[g, slot] = new_pos[g]
+            mask[g, slot] = True
+            gen[g, slot] = True
+        batch = batch.replace(z=jnp.asarray(z), pos=jnp.asarray(pos),
+                              mask=jnp.asarray(mask), gen_flag=jnp.asarray(gen))
+    return {"z": batch.z, "pos": batch.pos,
+            "gen_flag": batch.gen_flag & batch.mask}

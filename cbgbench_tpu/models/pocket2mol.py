@@ -325,11 +325,11 @@ def sample_pocket2mol(model: Pocket2Mol, params, batch: P2MBatch, rng,
         active &= focal_found
         if not active.any():
             break
-        ctx_pos = np.asarray(batch.ctx_pos)
-        ctx_atype = np.asarray(batch.ctx_atype)
-        ctx_mask = np.asarray(batch.ctx_mask)
-        ctx_bond = np.asarray(batch.ctx_bond)
-        frontier = np.asarray(batch.ctx_frontier)
+        ctx_pos = np.array(batch.ctx_pos)
+        ctx_atype = np.array(batch.ctx_atype)
+        ctx_mask = np.array(batch.ctx_mask)
+        ctx_bond = np.array(batch.ctx_bond)
+        frontier = np.array(batch.ctx_frontier)
         for g in range(b):
             if not active[g]:
                 continue
