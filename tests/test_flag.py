@@ -1,0 +1,101 @@
+"""FLAG: mol-tree decomposition, vocab, training losses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cbgbench_tpu.chem import read_sdf
+from cbgbench_tpu.chem.moltree import MotifVocab, bfs_motif_order, tree_decomp
+from cbgbench_tpu.data.dataset import RawPairDataset, example_pairs
+from cbgbench_tpu.data.flag_data import build_flag_sample, stack_flag_batch
+from cbgbench_tpu.models.flag import FLAG
+
+
+@pytest.fixture(scope="module")
+def mols():
+    return [read_sdf(p)[0] for p, in
+            [(pair[1],) for pair in example_pairs()]]
+
+
+def test_tree_decomp_covers_molecule(mols):
+    for mol in mols:
+        cliques, edges = tree_decomp(mol)
+        covered = set(a for c in cliques for a in c)
+        assert covered == set(range(mol.num_atoms))
+        # every ring is inside some clique
+        for ring in mol.rings():
+            assert any(set(ring) <= set(c) for c in cliques)
+
+
+def test_vocab_build_and_templates(mols):
+    vocab = MotifVocab.build(mols)
+    assert vocab.size() > 5
+    for wid, tmpl in vocab.templates.items():
+        assert len(tmpl["z"]) == len(tmpl["pos"])
+        # template centered
+        np.testing.assert_allclose(tmpl["pos"].mean(0), 0.0, atol=1e-5)
+
+
+def test_bfs_motif_order(mols):
+    cliques, edges = tree_decomp(mols[0])
+    order = bfs_motif_order(cliques, edges, 0, np.random.default_rng(0))
+    assert sorted(order) == list(range(len(cliques)))
+    assert order[0] == 0
+
+
+@pytest.fixture(scope="module")
+def flag_setup(mols):
+    vocab = MotifVocab.build(mols)
+    ds = RawPairDataset(example_pairs()[:2], mode="basic", pocket_radius=6.0)
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(2):
+        s = ds.get(i, rng)
+        fs = build_flag_sample(s, vocab, rng)
+        assert fs is not None
+        samples.append(fs)
+    batch = stack_flag_batch(samples, lig_cap=64, rec_cap=288)
+    model = FLAG(num_classes=8, vocab_size=max(vocab.size(), 8), emb_dim=32,
+                 vec_dim=16, num_layers=2, k=16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    return model, params, batch, vocab
+
+
+def test_flag_loss_structure(flag_setup):
+    model, params, batch, _ = flag_setup
+    losses, _ = model.apply(params, batch)
+    assert set(losses) == {"pred", "comb", "focal", "dm"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_flag_training_decreases(flag_setup):
+    import optax
+    model, params, batch, _ = flag_setup
+    tx = optax.adam(2e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            ld, _ = model.apply(p, batch)
+            return model.weighted_loss(ld)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(25):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_flag_predict_step(flag_setup):
+    model, params, batch, vocab = flag_setup
+    motif_logits, lf, pf, comb, h_rec = model.apply(params, batch,
+                                                    method="predict_step")
+    assert motif_logits.shape[-1] == model.vocab_size
+    assert np.isfinite(np.asarray(motif_logits)).all()
