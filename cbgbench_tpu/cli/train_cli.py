@@ -33,7 +33,8 @@ _SUPPORTED_TRANSFORMS = {
     "center_pos", "center_whole_pos", "add_pos_noise", "remove_ligand",
     "assign_molsize", "assign_atomtype", "assign_molpos", "assign_linkernum",
     "random_mask", "bfs_mask", "mixed_mask", "select_linker", "select_frag",
-    "select_scaffold", "select_sidechain",
+    "select_scaffold", "select_sidechain", "keep_ctx_only",
+    "featurize_protein_fa", "featurize_ligand_fa", "featurize_ligand_ar",
 }
 
 

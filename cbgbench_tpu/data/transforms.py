@@ -195,3 +195,186 @@ def assign_molpos(distribution: str = "gaussian", **_):
         s["ligand"]["pos"] = pos
         return s
     return fn
+
+
+def _mol_from_ligand_dict(lig: dict):
+    from ..chem.mol import Molecule
+    from ..constants.molecule import get_atomic_number_from_index
+    atype = np.asarray(lig["atype"])
+    mode_guess = "basic" if atype.max() < 8 else "add_aromatic"
+    z = np.array(get_atomic_number_from_index(atype, mode_guess))
+    mol = Molecule(z, lig["pos"])
+    bi, bt = lig.get("bond_index"), lig.get("bond_type")
+    if bi is not None and np.asarray(bi).size:
+        bi = np.asarray(bi)
+        for k in range(bi.shape[1]):
+            mol.add_bond(int(bi[0, k]), int(bi[1, k]), int(bt[k]))
+    return mol
+
+
+def _apply_gen_ctx(s: dict, gen: np.ndarray, ctx: np.ndarray) -> dict:
+    n = len(s["ligand"]["atype"])
+    gen_flag = np.zeros(n, bool)
+    gen_flag[gen] = True
+    s["ligand"]["gen_flag"] = gen_flag
+    s["ligand"]["ctx_flag"] = ~gen_flag
+    return s
+
+
+@TRANSFORMS.register("select_linker")
+def select_linker(**kw):
+    """Linker design: generate the middle linker between two kept fragments
+    (reference: molecule_parser.py linker_decomp + select.py)."""
+    from ..chem.decomp import linker_decomp
+
+    def fn(s, rng):
+        mol = _mol_from_ligand_dict(s["ligand"])
+        out = linker_decomp(mol, rng)
+        if out is None:            # fall back to BFS mask-style split
+            from .mask import bfs_mask
+            masked, context = bfs_mask(mol.num_atoms, None, rng,
+                                       min_ratio=0.2, max_ratio=0.5)
+            out = (masked, context)
+        return _apply_gen_ctx(s, *out)
+    return fn
+
+
+@TRANSFORMS.register("select_frag")
+def select_frag(**kw):
+    """Fragment growing: keep one fragment, generate the rest."""
+    from ..chem.decomp import fragment_decomp
+
+    def fn(s, rng):
+        mol = _mol_from_ligand_dict(s["ligand"])
+        out = fragment_decomp(mol, rng)
+        if out is None:
+            from .mask import bfs_mask
+            masked, context = bfs_mask(mol.num_atoms, None, rng,
+                                       min_ratio=0.3, max_ratio=0.7)
+            out = (masked, context)
+        return _apply_gen_ctx(s, *out)
+    return fn
+
+
+@TRANSFORMS.register("select_scaffold")
+def select_scaffold(**kw):
+    """Scaffold hopping: generate the Murcko scaffold, keep side chains."""
+    from ..chem.decomp import scaffold_decomp
+
+    def fn(s, rng):
+        mol = _mol_from_ligand_dict(s["ligand"])
+        out = scaffold_decomp(mol)
+        if out is None:
+            n = mol.num_atoms
+            out = (np.arange(n), np.zeros(0, int))
+        return _apply_gen_ctx(s, *out)
+    return fn
+
+
+@TRANSFORMS.register("select_sidechain")
+def select_sidechain(**kw):
+    """Side-chain decoration: generate side chains, keep the scaffold."""
+    from ..chem.decomp import sidechain_decomp
+
+    def fn(s, rng):
+        mol = _mol_from_ligand_dict(s["ligand"])
+        out = sidechain_decomp(mol)
+        if out is None:
+            n = mol.num_atoms
+            out = (np.arange(n), np.zeros(0, int))
+        return _apply_gen_ctx(s, *out)
+    return fn
+
+
+@TRANSFORMS.register("random_mask")
+def random_mask_tf(min_ratio=0.0, max_ratio=1.2, min_num_masked=1,
+                   min_num_unmasked=0, **kw):
+    from .mask import random_mask as _rm
+
+    def fn(s, rng):
+        lig = s["ligand"]
+        n = len(lig["atype"])
+        masked, context = _rm(n, lig.get("bond_index"), rng, min_ratio,
+                              max_ratio, min_num_masked, min_num_unmasked,
+                              lig.get("ctx_flag"))
+        return _apply_gen_ctx(s, masked, context)
+    return fn
+
+
+@TRANSFORMS.register("bfs_mask")
+def bfs_mask_tf(min_ratio=0.0, max_ratio=1.2, min_num_masked=1,
+                min_num_unmasked=0, inverse=False, **kw):
+    from .mask import bfs_mask as _bm
+
+    def fn(s, rng):
+        lig = s["ligand"]
+        n = len(lig["atype"])
+        masked, context = _bm(n, lig.get("bond_index"), rng, min_ratio,
+                              max_ratio, min_num_masked, min_num_unmasked,
+                              inverse, lig.get("ctx_flag"))
+        return _apply_gen_ctx(s, masked, context)
+    return fn
+
+
+@TRANSFORMS.register("mixed_mask")
+def mixed_mask_tf(min_ratio=0.0, max_ratio=1.2, min_num_masked=1,
+                  min_num_unmasked=0, p_random=0.5, p_bfs=0.25,
+                  p_invbfs=0.25, **kw):
+    from .mask import mixed_mask as _mm
+
+    def fn(s, rng):
+        lig = s["ligand"]
+        n = len(lig["atype"])
+        masked, context = _mm(n, lig.get("bond_index"), rng, min_ratio,
+                              max_ratio, min_num_masked, min_num_unmasked,
+                              p_random, p_bfs, p_invbfs, lig.get("ctx_flag"))
+        return _apply_gen_ctx(s, masked, context)
+    return fn
+
+
+@TRANSFORMS.register("keep_ctx_only")
+def keep_ctx_only(mode: str = "add_aromatic", **kw):
+    """Decomp test-time: keep the context atoms fixed, replace the generated
+    part with prior-initialized atoms (count from the linker prior, uniform
+    types, Gaussian positions around the kept fragment's centroid) —
+    the choose_ctx_gen + assign_linkernum flow
+    (reference: configs/*/test + init_lig.py:173-198)."""
+    prior_atom = _load_prior("_atom_num_dist.npy")
+    prior_linker = _load_prior("_linker_num_dist.npy")
+    num_types = NUM_ATOM_TYPES_BY_MODE[mode]
+
+    def fn(s, rng):
+        lig = s["ligand"]
+        gen_flag = lig.get("gen_flag")
+        if gen_flag is None:
+            gen_flag = np.ones(len(lig["atype"]), bool)
+        ctx = ~gen_flag
+        ctx_pos = lig["pos"][ctx]
+        ctx_atype = lig["atype"][ctx]
+        size = get_space_size(s["protein"]["pos"])
+        n = sample_count_from_prior(size, prior_atom, rng) - int(ctx.sum())
+        if n <= 0:
+            n = sample_count_from_prior(size, prior_linker, rng)
+        center = (ctx_pos.mean(0) if len(ctx_pos)
+                  else s["protein"]["pos"].mean(0))
+        new_pos = center + rng.standard_normal((n, 3)).astype(np.float32)
+        s["ligand"] = {
+            "pos": np.concatenate([ctx_pos, new_pos]).astype(np.float32),
+            "atype": np.concatenate(
+                [ctx_atype, rng.integers(0, num_types, n)]).astype(np.int32),
+            "gen_flag": np.concatenate(
+                [np.zeros(len(ctx_pos), bool), np.ones(n, bool)]),
+        }
+        return s
+    return fn
+
+
+@TRANSFORMS.register("featurize_protein_fa")
+@TRANSFORMS.register("featurize_ligand_fa")
+@TRANSFORMS.register("featurize_ligand_ar")
+def _featurize_noop(**kw):
+    """Featurization happens at parse time in RawPairDataset; these names
+    are accepted for reference-config compatibility."""
+    def fn(s, rng):
+        return s
+    return fn
