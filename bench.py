@@ -34,7 +34,7 @@ def main():
     from cbgbench_tpu.models.targetdiff import TargetDiff, sample_targetdiff
 
     model = TargetDiff(num_classes=13, num_timesteps=T, emb_dim=128,
-                       num_layers=9, n_heads=16, k=32)
+                       num_layers=9, n_heads=16, k=32, bf16=True)
     batch = synthetic_batch(0, batch_size=BATCH, n_lig=24, n_rec=360,
                             num_atom_types=13, lig_cap=LIG_CAP,
                             rec_cap=REC_CAP)

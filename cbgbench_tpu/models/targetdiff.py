@@ -51,6 +51,8 @@ class TargetDiff(nn.Module):
     # loss
     loss_weight_pos: float = 1.0
     loss_weight_atom: float = 100.0
+    # compute precision of the denoiser's edge MLPs / attention
+    bf16: bool = False
 
     @classmethod
     def from_config(cls, cfg) -> "TargetDiff":
@@ -77,6 +79,7 @@ class TargetDiff(nn.Module):
             atom_cosine_s=gen["atom_schedule"].get("cosine_s", 0.01),
             loss_weight_pos=cfg.get("loss_weights", {}).get("pos", 1.0),
             loss_weight_atom=cfg.get("loss_weights", {}).get("atom", 100.0),
+            bf16=cfg.get("bf16", False),
         )
 
     def setup(self):
@@ -92,7 +95,8 @@ class TargetDiff(nn.Module):
         self.denoiser = UniTransformer(
             num_classes=self.num_classes, num_layers=self.num_layers,
             hidden_dim=self.emb_dim, n_heads=self.n_heads, k=self.k,
-            r_max=self.r_max)
+            r_max=self.r_max,
+            dtype=jnp.bfloat16 if self.bf16 else None)
 
     # ------------------------------------------------------------------
 

@@ -13,7 +13,7 @@ are [B*N*K, F] matmuls.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -39,6 +39,7 @@ class X2HAttention(nn.Module):
     norm: bool = True
     ew_net_type: str = "global"        # 'r' | 'm' | 'global' | 'none'
     out_fc: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, rel_x, h_dst, h_src, edge_attr, valid,
@@ -55,9 +56,9 @@ class X2HAttention(nn.Module):
 
         kv_input = jnp.concatenate([edge_attr, dist_feat, h_dst, h_src], -1)
 
-        k = MLP(d, d, norm=self.norm, act=self.act, name="hk_func")(kv_input)
+        k = MLP(d, d, norm=self.norm, act=self.act, dtype=self.dtype, name="hk_func")(kv_input)
         k = k.reshape(k.shape[:-1] + (self.n_heads, dh))
-        v = MLP(d, d, norm=self.norm, act=self.act, name="hv_func")(kv_input)
+        v = MLP(d, d, norm=self.norm, act=self.act, dtype=self.dtype, name="hv_func")(kv_input)
 
         if self.ew_net_type == "r":
             e_w = nn.sigmoid(nn.Dense(1, name="ew_net")(dist_feat))
@@ -69,13 +70,13 @@ class X2HAttention(nn.Module):
         v = v.reshape(v.shape[:-1] + (self.n_heads, dh))
 
         h_center = h_dst[..., 0, :]    # [B, N, D] (h_dst is broadcast over K)
-        q = MLP(d, d, norm=self.norm, act=self.act, name="hq_func")(h_center)
+        q = MLP(d, d, norm=self.norm, act=self.act, dtype=self.dtype, name="hq_func")(h_center)
         q = q.reshape(q.shape[:-1] + (self.n_heads, dh))
 
         logits = jnp.sum(q[..., None, :, :] * k, -1) / math.sqrt(dh)  # [B,N,K,H]
         alpha = masked_softmax(logits, valid, axis=-2)
         out = jnp.sum(alpha[..., None] * v, axis=-3)        # [B, N, H, dh]
-        out = out.reshape(out.shape[:-2] + (d,))
+        out = out.reshape(out.shape[:-2] + (d,)).astype(h_center.dtype)
 
         if self.out_fc:
             out = MLP(d, d, norm=self.norm, act=self.act,
@@ -95,6 +96,7 @@ class H2XAttention(nn.Module):
     act: str = "relu"
     norm: bool = True
     ew_net_type: str = "global"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, rel_x, h_dst, h_src, edge_attr, valid,
@@ -107,10 +109,10 @@ class H2XAttention(nn.Module):
         dist_feat = outer_product(edge_attr, rbf)
 
         kv_input = jnp.concatenate([edge_attr, dist_feat, h_dst, h_src], -1)
-        k = MLP(d, d, norm=self.norm, act=self.act, name="xk_func")(kv_input)
+        k = MLP(d, d, norm=self.norm, act=self.act, dtype=self.dtype, name="xk_func")(kv_input)
         k = k.reshape(k.shape[:-1] + (self.n_heads, dh))
         v = MLP(self.n_heads, d, norm=self.norm, act=self.act,
-                name="xv_func")(kv_input)                  # [B,N,K,H] scalars
+                dtype=self.dtype, name="xv_func")(kv_input)                  # [B,N,K,H] scalars
 
         if self.ew_net_type == "global" and e_w is not None:
             v = v * e_w
@@ -120,10 +122,10 @@ class H2XAttention(nn.Module):
         v = v[..., :, None] * rel_x[..., None, :]           # [B,N,K,H,3]
 
         h_center = h_dst[..., 0, :]
-        q = MLP(d, d, norm=self.norm, act=self.act, name="xq_func")(h_center)
+        q = MLP(d, d, norm=self.norm, act=self.act, dtype=self.dtype, name="xq_func")(h_center)
         q = q.reshape(q.shape[:-1] + (self.n_heads, dh))
 
         logits = jnp.sum(q[..., None, :, :] * k, -1) / math.sqrt(dh)
         alpha = masked_softmax(logits, valid, axis=-2)      # [B,N,K,H]
         out = jnp.sum(alpha[..., None] * v, axis=-3)        # sum over K -> [B,N,H,3]
-        return out.mean(axis=-2)                            # [B,N,3]
+        return out.mean(axis=-2).astype(rel_x.dtype)        # [B,N,3]

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import math
-from typing import Callable
+from typing import Any, Callable
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -28,7 +28,8 @@ class ShiftedSoftplus(nn.Module):
 
 class MLP(nn.Module):
     """Two-plus-layer MLP with LayerNorm+act between layers
-    (reference: repo/modules/common.py:151-171)."""
+    (reference: repo/modules/common.py:151-171). ``dtype`` sets the compute
+    precision (bf16 feeds the MXU at full rate; params stay f32)."""
 
     out_dim: int
     hidden_dim: int
@@ -36,16 +37,17 @@ class MLP(nn.Module):
     norm: bool = True
     act: str = "relu"
     act_last: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         act: Callable = ACT[self.act]
         for i in range(self.num_layer):
             feat = self.out_dim if i == self.num_layer - 1 else self.hidden_dim
-            x = nn.Dense(feat)(x)
+            x = nn.Dense(feat, dtype=self.dtype)(x)
             if i < self.num_layer - 1 or self.act_last:
                 if self.norm:
-                    x = nn.LayerNorm()(x)
+                    x = nn.LayerNorm(dtype=self.dtype)(x)
                 x = act(x)
         return x
 

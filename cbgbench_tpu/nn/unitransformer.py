@@ -10,7 +10,7 @@ neighbor attention, H2X applies an equivariant coordinate delta gated by
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import flax.linen as nn
@@ -47,6 +47,7 @@ class E3DualAttentionLayer(nn.Module):
     ew_net_type: str = "global"
     x2h_out_fc: bool = False
     dynamic_x: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, h, idx, valid, edge_attr, e_w, gen_flag):
@@ -54,7 +55,7 @@ class E3DualAttentionLayer(nn.Module):
                       edge_feat_dim=self.edge_feat_dim,
                       num_r_gaussian=self.num_r_gaussian, r_max=self.r_max,
                       act=self.act, norm=self.norm,
-                      ew_net_type=self.ew_net_type)
+                      ew_net_type=self.ew_net_type, dtype=self.dtype)
 
         h_in = h
         for i in range(self.num_x2h):
@@ -98,6 +99,7 @@ class UniTransformer(nn.Module):
     num_x2h: int = 1
     num_h2x: int = 1
     x2h_out_fc: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, h, mask, lig_flag, gen_flag):
@@ -110,7 +112,8 @@ class UniTransformer(nn.Module):
                 num_r_gaussian=self.num_r_gaussian, r_max=self.r_max,
                 act=self.act, norm=self.norm, num_x2h=self.num_x2h,
                 num_h2x=self.num_h2x, ew_net_type=self.ew_net_type,
-                x2h_out_fc=self.x2h_out_fc, name=f"layer_{i}")
+                x2h_out_fc=self.x2h_out_fc, dtype=self.dtype,
+                name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         if self.ew_net_type == "global":
