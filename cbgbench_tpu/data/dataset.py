@@ -57,6 +57,13 @@ class RawPairDataset:
             "protein": featurize_protein(atoms),
             "ligand": featurize_ligand(lig, self.mode,
                                        keep_bonds=self.keep_bonds),
+            "residues": {
+                "pos_heavyatom": residues.pos_heavyatom.astype(np.float32),
+                "mask_heavyatom": residues.mask_heavyatom,
+                "aa": residues.aa.astype(np.int32),
+                "res_nb": residues.res_nb.astype(np.int32),
+                "chain_nb": residues.chain_nb.astype(np.int32),
+            },
             "name": os.path.basename(sdf_path),
         }
         self._cache[i] = sample

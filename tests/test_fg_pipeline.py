@@ -1,0 +1,99 @@
+"""FG detection + D3FG real-data pipeline + two-stage pool tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cbgbench_tpu.chem import read_sdf
+from cbgbench_tpu.chem.fg_detect import (FRAME_ANCHORS, atoms_from_fg,
+                                         decompose_fg)
+from cbgbench_tpu.chem.smiles import parse_smiles
+from cbgbench_tpu.constants.fg import MOTIF_ELEMENTS
+from cbgbench_tpu.constants.molecule import MAP_ATOMIC_NUMBER_TO_ATOM_SYMBOL
+from cbgbench_tpu.data.dataset import RawPairDataset, example_pairs
+from cbgbench_tpu.data.fg_pipeline import (build_fg_sample, ctx_to_ligand_dict,
+                                           load_ctx_pool, save_ctx_pool,
+                                           stack_fg_batch)
+
+
+def test_smiles_parser_matches_element_tables():
+    for key in FRAME_ANCHORS:
+        z, bonds, arom = parse_smiles(key)
+        syms = [MAP_ATOMIC_NUMBER_TO_ATOM_SYMBOL.get(x, "?") for x in z]
+        want = [e for e in MOTIF_ELEMENTS.get(
+            key, MOTIF_ELEMENTS.get(key + "_1", [])) if e != "*"]
+        assert syms == want, key
+        assert len(bonds) >= len(z) - 1
+
+
+def test_decompose_covers_and_finds_rings():
+    found_ring_motif = 0
+    for pdb, sdf in example_pairs():
+        mol = read_sdf(sdf)[0]
+        fgs = decompose_fg(mol)
+        covered = sorted(a for f in fgs for a in f["atoms"])
+        assert covered == list(range(mol.num_atoms))
+        if any(len(f["atoms"]) >= 5 for f in fgs):
+            found_ring_motif += 1
+        # frames orthonormal where multi-atom
+        for f in fgs:
+            if len(f["atoms"]) > 1:
+                R = f["R"]
+                np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)
+    assert found_ring_motif >= 2
+
+
+def test_assembly_roundtrip_geometry():
+    """Detect benzene in a real ligand, reassemble from (center, R, wid):
+    atom positions must land near the originals."""
+    for pdb, sdf in example_pairs():
+        mol = read_sdf(sdf)[0]
+        fgs = [f for f in decompose_fg(mol) if f["key"] == "c1ccccc1"]
+        if not fgs:
+            continue
+        f = fgs[0]
+        z, pos = atoms_from_fg(f["center"][None], f["R"][None],
+                               np.array([f["wid"]]))
+        true_pos = mol.pos[f["atoms"]]
+        # centroid distance small; per-atom RMSD modest (template vs real)
+        assert np.linalg.norm(pos.mean(0) - true_pos.mean(0)) < 0.5
+        d = np.linalg.norm(pos[:, None] - true_pos[None], axis=-1)
+        assert d.min(1).mean() < 0.5
+        return
+    pytest.skip("no benzene in fixtures")
+
+
+def test_fg_batch_and_d3fg_train():
+    ds = RawPairDataset(example_pairs()[:2], mode="basic", pocket_radius=8.0)
+    rng = np.random.default_rng(0)
+    samples = [build_fg_sample(ds.get(i, rng)) for i in range(2)]
+    batch = stack_fg_batch(samples, fg_cap=32, res_cap=64)
+    assert np.asarray(batch.ligand.mask).sum() > 4
+    assert np.asarray(batch.residues.mask).sum() > 10
+
+    from cbgbench_tpu.models.d3fg import D3FG
+    model = D3FG(num_fg_types=28, num_timesteps=10, emb_dim=32, num_layers=2,
+                 n_heads=4, k=8)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch,
+                                 jnp.array([3, 7]), jax.random.PRNGKey(0))
+    losses, _ = model.apply(params, batch, jnp.array([3, 7]),
+                            jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def test_two_stage_pool(tmp_path):
+    ds = RawPairDataset(example_pairs()[:1], mode="basic", pocket_radius=8.0)
+    rng = np.random.default_rng(0)
+    samples = [build_fg_sample(ds.get(0, rng))]
+    batch = stack_fg_batch(samples, fg_cap=32, res_cap=64)
+    fake_out = {"pos": batch.ligand.pos, "orient": batch.ligand.orient,
+                "type_fg": batch.ligand.type_fg}
+    path = str(tmp_path / "gen_ctx_pool_0.pkl")
+    pool = save_ctx_pool(path, fake_out, batch)
+    back = load_ctx_pool(path)
+    assert len(back) == 1
+    assert len(back[0]["element"]) > 4
+    lig = ctx_to_ligand_dict(back[0])
+    assert not lig["gen_flag"].any()
+    assert lig["pos"].shape[0] == len(lig["atype"])
