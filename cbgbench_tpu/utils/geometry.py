@@ -141,3 +141,15 @@ def apply_rotation_about_axis(pos, axis_point, axis_dir, angle):
     rot = (p * cos + jnp.cross(jnp.broadcast_to(k, p.shape), p) * sin
            + k * jnp.sum(k * p, axis=-1, keepdims=True) * (1 - cos))
     return rot + axis_point
+
+
+def von_mises_loss(pred_angle, true_angle, kappa: float = 1.0):
+    """Negative cosine-similarity von Mises loss on angles
+    (reference: repo/utils/dihedutils.py von_Mises_loss)."""
+    return 1.0 - jnp.cos(pred_angle - true_angle)
+
+
+def batch_dihedrals(p0, p1, p2, p3):
+    """Vectorized signed dihedrals [..., ] (reference: dihedutils.py
+    batch_dihedrals); alias of dihedral_from_four_points."""
+    return dihedral_from_four_points(p0, p1, p2, p3)
