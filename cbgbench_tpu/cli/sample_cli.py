@@ -28,6 +28,63 @@ def _register_samplers():
                      "difffg_v2": sample_d3fg})
 
 
+def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
+                       batch_size, seed, lig_cap, rec_cap):
+    """AR growth sampling (pocket2mol / graphbp): yield (pos, atype, mask)
+    numpy arrays per replica batch, in the original coordinate frame."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = ds.get(index, rng)
+    done = 0
+    bi = 0
+    while done < num_samples:
+        bs = min(batch_size, num_samples - done)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), bi * 997 + index)
+        if model_type == "pocket2mol":
+            from ..data.p2m import build_p2m_sample, stack_p2m_batch
+            from ..models.pocket2mol import sample_pocket2mol
+            samples = [build_p2m_sample(base, rng, num_contrast=4, edge_cap=8)
+                       for _ in range(bs)]
+            batch = stack_p2m_batch(samples, lig_cap=lig_cap, rec_cap=rec_cap)
+            empty = batch.replace(
+                ctx_pos=jnp.zeros_like(batch.ctx_pos),
+                ctx_atype=jnp.zeros_like(batch.ctx_atype),
+                ctx_mask=jnp.zeros_like(batch.ctx_mask),
+                ctx_bond=jnp.zeros_like(batch.ctx_bond),
+                ctx_frontier=jnp.zeros_like(batch.ctx_frontier),
+                rec_pred_flag=batch.rec_mask)
+            out = sample_pocket2mol(model, params, empty, key,
+                                    max_iter=lig_cap // 2)
+            yield (np.asarray(out["pos"]), np.asarray(out["atype"]),
+                   np.asarray(out["mask"]))
+        elif model_type == "graphbp":
+            from ..data.graphbp_seq import (build_graphbp_sample,
+                                            stack_graphbp_batch)
+            from ..models.graphbp import sample_graphbp
+            samples = [build_graphbp_sample(base, rng,
+                                            num_atom_types=model.num_classes)
+                       for _ in range(bs)]
+            gb = stack_graphbp_batch(samples, cap=rec_cap + lig_cap)
+            gen = np.array(gb.gen_flag)
+            mask = np.array(gb.mask) & ~gen
+            empty = gb.replace(mask=jnp.asarray(mask),
+                               gen_flag=jnp.zeros_like(gb.gen_flag),
+                               is_first_step=jnp.ones(bs, bool))
+            out = sample_graphbp(model, params, empty, key,
+                                 max_atoms=lig_cap // 2, min_atoms=8)
+            gmask = np.asarray(out["gen_flag"])
+            # ligand class indices live below num_classes in the merged vocab
+            atype = np.clip(np.asarray(out["z"]), 0, model.num_classes - 1)
+            yield np.asarray(out["pos"]), atype, gmask
+        else:
+            raise ValueError(model_type)
+        done += bs
+        bi += 1
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
@@ -82,7 +139,7 @@ def main(argv=None):
     num_samples = args.num_samples or cfg.get("sampling", {}).get(
         "num_samples", 200)
     seed = cfg.get("sampling", {}).get("seed", 2022)
-    sampler = SAMPLERS[model_cfg["type"]]
+    sampler = SAMPLERS.get(model_cfg["type"])
 
     indices = [args.index] if args.index is not None else range(len(ds))
     os.makedirs(args.out_root, exist_ok=True)
@@ -94,15 +151,27 @@ def main(argv=None):
         t_start = time.time()
         n_done = n_valid = 0
         mols = []
-        for bi, batch in enumerate(repeat_for_sampling(
-                ds, i, num_samples, args.batch_size, transform, seed=seed,
-                lig_cap=args.lig_cap, rec_cap=args.rec_cap)):
-            rng = jax.random.fold_in(jax.random.PRNGKey(seed), bi * 1000 + i)
-            out = sampler(model, params, batch, rng)
-            pos = np.asarray(out["pos"]) + np.asarray(
-                batch.translation)[:, None]
-            atype = np.asarray(out["atype"])
-            mask = np.asarray(batch.ligand.mask)
+        if model_cfg["type"] in ("pocket2mol", "graphbp"):
+            batches = _sample_ar_batches(
+                model_cfg["type"], model, params, ds, i, num_samples,
+                args.batch_size, seed, min(args.lig_cap, 64), args.rec_cap)
+        else:
+            batches = None
+        iterator = batches if batches is not None else (
+            repeat_for_sampling(ds, i, num_samples, args.batch_size,
+                                transform, seed=seed, lig_cap=args.lig_cap,
+                                rec_cap=args.rec_cap))
+        for bi, batch in enumerate(iterator):
+            if batches is not None:
+                pos, atype, mask = batch
+            else:
+                rng = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                         bi * 1000 + i)
+                out = sampler(model, params, batch, rng)
+                pos = np.asarray(out["pos"]) + np.asarray(
+                    batch.translation)[:, None]
+                atype = np.asarray(out["atype"])
+                mask = np.asarray(batch.ligand.mask)
             for s in range(pos.shape[0]):
                 if n_done >= num_samples:
                     break

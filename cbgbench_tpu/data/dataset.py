@@ -193,3 +193,68 @@ def scan_pair_dir(root: str) -> List[Tuple[str, str]]:
             pairs.append((os.path.join(dirpath, best),
                           os.path.join(dirpath, sdf)))
     return sorted(pairs)
+
+
+class CrossDockedLMDB:
+    """The reference's LMDB cache + name->id split files
+    (reference: repo/datasets/pl.py:38-87 LMDataBase + :12-34 get_pl_dataset).
+    Requires the `lmdb` package and a prebuilt cache; raises a clear error
+    otherwise. Yields the same per-sample dicts as RawPairDataset."""
+
+    def __init__(self, lmdb_path: str, split_path: Optional[str] = None,
+                 split: str = "train", transform: Optional[Callable] = None,
+                 mode: str = "add_aromatic"):
+        try:
+            import lmdb  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "CrossDockedLMDB requires the 'lmdb' package; use "
+                "RawPairDataset over the extracted pocket10 directory "
+                "instead") from e
+        import lmdb
+        import pickle
+        self._pickle = pickle
+        self.env = lmdb.open(lmdb_path, readonly=True, lock=False,
+                             readahead=False, subdir=os.path.isdir(lmdb_path))
+        with self.env.begin() as txn:
+            self.keys = [k for k, _ in txn.cursor()]
+        if split_path:
+            import torch
+            split_map = torch.load(split_path)
+            names = set(n for pair in split_map[split] for n in pair)
+            self.keys = [k for k in self.keys
+                         if k.decode(errors="ignore") in names] or self.keys
+        self.transform = transform
+        self.mode = mode
+
+    def __len__(self):
+        return len(self.keys)
+
+    def get(self, i: int, rng: np.random.Generator) -> dict:
+        with self.env.begin() as txn:
+            raw = self._pickle.loads(txn.get(self.keys[i]))
+        # reference pickles {'protein': {...}, 'ligand': {...}} dicts with
+        # torch tensors; normalize to numpy
+        def np_(v):
+            return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        sample = {
+            "protein": {
+                "pos": np_(raw["protein"]["pos"]).astype(np.float32),
+                "element": np_(raw["protein"].get(
+                    "element_index", raw["protein"].get("element"))),
+                "is_backbone": np_(raw["protein"]["is_backbone"]).astype(bool),
+                "aa": np_(raw["protein"]["atom_to_aa_type"]).astype(np.int32),
+            },
+            "ligand": {
+                "pos": np_(raw["ligand"]["pos"]).astype(np.float32),
+                "atype": np_(raw["ligand"].get(
+                    "atom_type", raw["ligand"].get("atype"))).astype(np.int32),
+                "bond_index": np_(raw["ligand"].get("bond_index",
+                                                    np.zeros((2, 0), int))),
+                "bond_type": np_(raw["ligand"].get("bond_type",
+                                                   np.zeros(0, int))),
+            },
+        }
+        if self.transform is not None:
+            sample = self.transform(sample, rng)
+        return sample

@@ -38,6 +38,9 @@ from .pocket2mol import bce_logits
 
 
 class FLAG(nn.Module):
+    # shared train-step API (t unused by AR losses)
+    num_timesteps: int = 1
+    time_sampler: str = "uniform"
     num_classes: int = 13
     vocab_size: int = 128          # motif classes (start token = vocab_size)
     emb_dim: int = 128

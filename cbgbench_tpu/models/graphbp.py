@@ -85,6 +85,9 @@ def dat_to_xyz(f, c1, c2, d, angle, torsion):
 
 
 class GraphBP(nn.Module):
+    # shared train-step API (t unused by AR losses)
+    num_timesteps: int = 1
+    time_sampler: str = "uniform"
     num_classes: int = 13
     num_rec_types: int = 6
     emb_dim: int = 128

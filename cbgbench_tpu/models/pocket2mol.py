@@ -46,6 +46,9 @@ def bce_logits(logits, targets):
 
 
 class Pocket2Mol(nn.Module):
+    # shared train-step API (t unused by AR losses)
+    num_timesteps: int = 1
+    time_sampler: str = "uniform"
     num_classes: int = 13
     num_edge_classes: int = 5      # num_bondtype + 1 in reference terms
     emb_dim: int = 128
