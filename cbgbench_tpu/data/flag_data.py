@@ -52,6 +52,12 @@ class FLAGBatch:
     dm_new_atype: jnp.ndarray     # [B, ND]  atom types of new motif atoms
     dm_true: jnp.ndarray          # [B, ND]
     dm_mask: jnp.ndarray          # [B, ND]
+    # torsion supervision around the graft bond (attach_ctx -> new anchor)
+    tor_attach: jnp.ndarray       # [B] ctx index of the attachment atom
+    tor_nbr: jnp.ndarray          # [B] ctx index of a neighbor of attach
+    tor_new_atype: jnp.ndarray    # [B] type of the new anchor atom
+    tor_true: jnp.ndarray         # [B] true dihedral (radians)
+    tor_valid: jnp.ndarray        # [B]
     translation: jnp.ndarray      # [B, 3]
 
     @property
@@ -174,8 +180,45 @@ def build_flag_sample(sample: dict, vocab: MotifVocab,
                 dm_mask[k_] = True
                 k_ += 1
 
+    # torsion: dihedral (nbr, attach, new_anchor, new_second) in the true
+    # ligand geometry
+    tor = {"tor_attach": 0, "tor_nbr": 0, "tor_new_atype": 0,
+           "tor_true": 0.0, "tor_valid": False}
+    if attach_atom is not None and new_atoms:
+        nbrs_ctx = [remap[b] if a in {k for k, v in remap.items()
+                                      if v == attach_atom} else None
+                    for (a, b) in []]
+        # neighbors of attach inside ctx
+        inv = {v: k for k, v in remap.items()}
+        a_orig = inv[attach_atom]
+        nbrs = [remap[x] for (p, q) in mol.bonds
+                for x in ((q,) if p == a_orig else (p,) if q == a_orig else ())
+                if x in remap]
+        anchor = None
+        for na in new_atoms:
+            if (min(a_orig, na), max(a_orig, na)) in mol.bonds:
+                anchor = na
+                break
+        second = None
+        if anchor is not None:
+            for (p, q) in mol.bonds:
+                other = q if p == anchor else p if q == anchor else None
+                if other is not None and other in new_atoms and other != anchor:
+                    second = other
+                    break
+        if nbrs and anchor is not None and second is not None:
+            from ..utils.geometry import dihedral_from_four_points
+            import jax.numpy as _j
+            d = float(dihedral_from_four_points(
+                _j.asarray(ctx_pos[nbrs[0]]), _j.asarray(ctx_pos[attach_atom]),
+                _j.asarray(lig_d["pos"][anchor]),
+                _j.asarray(lig_d["pos"][second])))
+            tor = {"tor_attach": attach_atom, "tor_nbr": nbrs[0],
+                   "tor_new_atype": int(lig_d["atype"][anchor]),
+                   "tor_true": d, "tor_valid": True}
+
     return {
-        "protein": rec, "rec_contact": rec_contact,
+        "protein": rec, "rec_contact": rec_contact, **tor,
         "ctx_pos": ctx_pos, "ctx_atype": ctx_atype, "ctx_bond": ctx_bond,
         "ctx_frontier": frontier, "focal_atoms": focal_atoms,
         "current_wid": current_wid, "next_wid": next_wid,
@@ -216,6 +259,9 @@ def stack_flag_batch(samples, lig_cap=64, rec_cap=448, nf_cap=16) -> FLAGBatch:
         dm_new_atype=np.zeros((b, nd), np.int32),
         dm_true=np.zeros((b, nd), np.float32),
         dm_mask=np.zeros((b, nd), bool),
+        tor_attach=np.zeros(b, np.int32), tor_nbr=np.zeros(b, np.int32),
+        tor_new_atype=np.zeros(b, np.int32),
+        tor_true=np.zeros(b, np.float32), tor_valid=np.zeros(b, bool),
         translation=np.zeros((b, 3), np.float32),
     )
     for i, s in enumerate(samples):
@@ -238,6 +284,8 @@ def stack_flag_batch(samples, lig_cap=64, rec_cap=448, nf_cap=16) -> FLAGBatch:
         out["focal_mask"][i, :len(fa)] = True
         for k in ("current_wid", "next_wid", "cand_atype", "cand_bond",
                   "cand_mask", "cand_valid", "cand_labels", "dm_rec_idx",
-                  "dm_new_atype", "dm_true", "dm_mask", "translation"):
+                  "dm_new_atype", "dm_true", "dm_mask", "tor_attach",
+                  "tor_nbr", "tor_new_atype", "tor_true", "tor_valid",
+                  "translation"):
             out[k][i] = s[k]
     return FLAGBatch(**{k: jnp.asarray(v) for k, v in out.items()})

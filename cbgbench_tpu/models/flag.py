@@ -77,6 +77,8 @@ class FLAG(nn.Module):
         self.focal_mlp_protein = MLP(1, self.emb_dim)
         self.dist_mlp = MLP(1, self.emb_dim)
         self.new_atom_emb = nn.Embed(self.num_classes, self.emb_dim)
+        # torsion head (reference: flag.py alpha_mlp, 3*D -> angle)
+        self.alpha_mlp = MLP(2, self.emb_dim * 3)
 
     def encode(self, batch: FLAGBatch):
         c_lig = jax.nn.one_hot(batch.ctx_atype, self.num_classes)
@@ -137,8 +139,21 @@ class FLAG(nn.Module):
         dm_err = (pred_d - batch.dm_true) ** 2
         loss_dm = masked_mean(dm_err[..., None], batch.dm_mask, axis=1).mean()
 
+        # torsion von Mises loss on the graft-bond dihedral
+        take = lambda arr, i: gather_neighbors(  # noqa: E731
+            arr, i[:, None, None])[:, 0, 0]
+        tor_in = jnp.concatenate(
+            [take(h_lig, batch.tor_attach), take(h_lig, batch.tor_nbr),
+             self.new_atom_emb(batch.tor_new_atype)], axis=-1)
+        sincos = self.alpha_mlp(tor_in)
+        pred_angle = jnp.arctan2(sincos[..., 0], sincos[..., 1])
+        from ..utils.geometry import von_mises_loss
+        tv = batch.tor_valid.astype(jnp.float32)
+        loss_tor = jnp.sum(von_mises_loss(pred_angle, batch.tor_true) * tv) \
+            / jnp.maximum(tv.sum(), 1.0)
+
         losses = {"pred": loss_pred, "comb": loss_comb, "focal": loss_focal,
-                  "dm": loss_dm}
+                  "dm": loss_dm, "torsion": loss_tor}
         results = {"motif_logits": logits, "next_wid": batch.next_wid,
                    "mask_gen": jnp.ones_like(batch.next_wid, bool)}
         return losses, results

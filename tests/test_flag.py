@@ -65,7 +65,7 @@ def flag_setup(mols):
 def test_flag_loss_structure(flag_setup):
     model, params, batch, _ = flag_setup
     losses, _ = model.apply(params, batch)
-    assert set(losses) == {"pred", "comb", "focal", "dm"}
+    assert set(losses) == {"pred", "comb", "focal", "dm", "torsion"}
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
 
