@@ -57,10 +57,14 @@ class E3DualAttentionLayer(nn.Module):
                       act=self.act, norm=self.norm,
                       ew_net_type=self.ew_net_type, dtype=self.dtype)
 
+        # features gather in the compute dtype (bf16 halves the dominant
+        # one-hot-matmul gather cost); coordinates stay f32
+        gdt = self.dtype or h.dtype
+
         h_in = h
         for i in range(self.num_x2h):
-            # one fused one-hot matmul gathers both coordinates and features
-            x_src, h_src = gather_neighbors_multi([x, h_in], idx)
+            x_src = gather_neighbors(x, idx)
+            h_src = gather_neighbors(h_in.astype(gdt), idx).astype(h.dtype)
             rel_x = x[..., :, None, :] - x_src
             h_dst = jnp.broadcast_to(h_in[..., :, None, :], h_src.shape)
             h_in = X2HAttention(out_fc=self.x2h_out_fc, name=f"x2h_{i}",
@@ -70,7 +74,8 @@ class E3DualAttentionLayer(nn.Module):
 
         x_in, x_out = x, x
         for i in range(self.num_h2x):
-            x_src, h_src = gather_neighbors_multi([x_in, h_out], idx)
+            x_src = gather_neighbors(x_in, idx)
+            h_src = gather_neighbors(h_out.astype(gdt), idx).astype(h.dtype)
             rel_x = x_in[..., :, None, :] - x_src
             h_dst = jnp.broadcast_to(h_out[..., :, None, :], h_src.shape)
             delta_x = H2XAttention(name=f"h2x_{i}", **common)(

@@ -77,8 +77,9 @@ def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     flat_idx = idx.reshape(b, -1)                       # [B, N*K]
     onehot = (flat_idx[..., None] == jnp.arange(n, dtype=idx.dtype)
               ).astype(x.dtype)                         # [B, N*K, N]
+    acc = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
     out = jax.lax.dot_general(onehot, x, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=x.dtype)
+                              preferred_element_type=acc).astype(x.dtype)
     out = out.reshape(idx.shape + (x.shape[-1],))
     if in_dtype == jnp.bool_:
         out = out > 0.5
