@@ -29,6 +29,68 @@ def build_dataset(data_cfg, mode: str):
                           pocket_radius=data_cfg.get("pocket_radius", 0.0))
 
 
+def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
+                      rec_cap: int, seed: int = 0):
+    """Infinite batch iterator routed by model family: diffusion models use
+    PocketLigandBatch; Pocket2Mol/GraphBP/FLAG/D3FG have their own padded
+    builders (the reference's per-model collates)."""
+    import numpy as np
+    from ..data.dataset import make_loader
+
+    if model_type in ("targetdiff", "diffbp", "diffsbdd"):
+        return make_loader(ds, batch_size, lig_cap=lig_cap, rec_cap=rec_cap,
+                           seed=seed)
+
+    def generic(build, stack):
+        rng = np.random.default_rng(seed)
+        while True:
+            buf = []
+            order = rng.permutation(len(ds))
+            for i in order:
+                try:
+                    s_ = ds.get(int(i), rng)
+                    b_ = build(s_, rng)
+                except Exception:
+                    continue
+                if b_ is None:
+                    continue
+                buf.append(b_)
+                if len(buf) == batch_size:
+                    try:
+                        yield stack(buf)
+                    except ValueError:
+                        pass       # a sample exceeded the shape bucket
+                    buf = []
+
+    if model_type == "pocket2mol":
+        from ..data.p2m import build_p2m_sample, stack_p2m_batch
+        return generic(
+            lambda s_, r: build_p2m_sample(s_, r),
+            lambda b_: stack_p2m_batch(b_, lig_cap=min(lig_cap, 64),
+                                       rec_cap=rec_cap))
+    if model_type == "graphbp":
+        from ..data.graphbp_seq import (build_graphbp_sample,
+                                        stack_graphbp_batch)
+        return generic(
+            lambda s_, r: build_graphbp_sample(s_, r),
+            lambda b_: stack_graphbp_batch(b_, cap=lig_cap + rec_cap))
+    if model_type == "flag":
+        from ..chem.moltree import MotifVocab
+        from ..data.flag_data import build_flag_sample, stack_flag_batch
+        vocab = MotifVocab()
+        return generic(
+            lambda s_, r: build_flag_sample(s_, vocab, r),
+            lambda b_: stack_flag_batch(b_, lig_cap=min(lig_cap, 64),
+                                        rec_cap=rec_cap))
+    if model_type in ("difffg", "difffg_v2"):
+        from ..data.fg_pipeline import build_fg_sample, stack_fg_batch
+        return generic(
+            lambda s_, r: build_fg_sample(s_),
+            lambda b_: stack_fg_batch(b_, fg_cap=32,
+                                      res_cap=max(rec_cap // 8, 64)))
+    raise ValueError(f"no loader for model type {model_type}")
+
+
 _SUPPORTED_TRANSFORMS = {
     "center_pos", "center_whole_pos", "add_pos_noise", "remove_ligand",
     "assign_molsize", "assign_atomtype", "assign_molpos", "assign_linkernum",
@@ -91,16 +153,16 @@ def main(argv=None):
     model = get_model(cfg["model"])
     mode = cfg["model"].get("mode", "add_aromatic")
     ds = build_dataset(cfg["data"]["train"], mode)
-    loader = make_loader(ds, train_cfg["batch_size"], lig_cap=args.lig_cap,
-                         rec_cap=args.rec_cap,
-                         seed=train_cfg.get("seed", 2022))
-    val_loader = make_loader(ds, train_cfg["batch_size"],
-                             lig_cap=args.lig_cap, rec_cap=args.rec_cap,
-                             seed=123)
+    loader = make_model_loader(cfg["model"]["type"], ds,
+                               train_cfg["batch_size"], args.lig_cap,
+                               args.rec_cap, seed=train_cfg.get("seed", 2022))
+    val_loader = make_model_loader(cfg["model"]["type"], ds,
+                                   train_cfg["batch_size"], args.lig_cap,
+                                   args.rec_cap, seed=123)
 
     rng = jax.random.PRNGKey(train_cfg.get("seed", 2022))
     batch0 = next(loader)
-    b = batch0.ligand.pos.shape[0]
+    b = batch0.batch_size
     t0 = sample_time(rng, b, model.num_timesteps, model.time_sampler)
     params = jax.jit(model.init)(rng, batch0, t0, rng)
     n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
@@ -124,6 +186,8 @@ def main(argv=None):
 
     step_fn = make_train_step(model, tx)
     eval_fn = make_eval_step(model, cfg.get("eval", {}).get("eval_interval", 10))
+    from ..train.evaluate import build_metrics
+    metric_fns = build_metrics(cfg.get("eval", {}).get("metrics", []))
     ckpt_dir = os.path.join(logdir, "checkpoints")
 
     max_iters = train_cfg.get("max_iters", 1000)
@@ -141,10 +205,20 @@ def main(argv=None):
                      " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())),
                      rate, plateau.lr)
         if it % val_freq == 0:
-            vm = eval_fn(state.params, next(val_loader), rng)
+            val_batch = next(val_loader)
+            vm = eval_fn(state.params, val_batch, rng)
             val_loss = float(vm["loss"])
-            log.info("validate iter %d | %s", it,
-                     " ".join(f"{k}={float(v):.4f}" for k, v in sorted(vm.items())))
+            extra = ""
+            if metric_fns:
+                t_mid = jnp.full((val_batch.ligand.pos.shape[0],),
+                                 model.num_timesteps // 2, jnp.int32)
+                _, results = model.apply(state.params, val_batch, t_mid, rng)
+                extra = " " + " ".join(
+                    f"{name}={fn(jax.tree.map(np.asarray, results)):.4f}"
+                    for name, fn in metric_fns.items())
+            log.info("validate iter %d | %s%s", it,
+                     " ".join(f"{k}={float(v):.4f}"
+                              for k, v in sorted(vm.items())), extra)
             new_lr = plateau.step(val_loss)
             state = state.replace(
                 opt_state=set_learning_rate(state.opt_state, new_lr))

@@ -39,7 +39,7 @@ def make_train_step(model, tx, donate: bool = True) -> Callable:
 
     def step_fn(state: TrainState, batch, rng) -> tuple:
         from ..models import sample_time
-        b = batch.ligand.pos.shape[0]
+        b = batch.batch_size
         k_t, k_noise = jax.random.split(jax.random.fold_in(rng, state.step))
         t = sample_time(k_t, b, model.num_timesteps, model.time_sampler)
         (total, loss_dict), grads = jax.value_and_grad(
@@ -58,7 +58,7 @@ def make_eval_step(model, eval_interval: int = 10) -> Callable:
     """Validation loss at fixed timesteps (reference: train.py:207-249)."""
 
     def eval_fn(params, batch, rng) -> Dict[str, jnp.ndarray]:
-        b = batch.ligand.pos.shape[0]
+        b = batch.batch_size
         import numpy as np
         times = np.linspace(0, model.num_timesteps - 1, eval_interval)
         total = None
