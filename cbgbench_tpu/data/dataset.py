@@ -21,7 +21,7 @@ from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..chem.pdb import parse_pdb_pocket, pocket_shell
-from ..chem.sdf import read_sdf
+from ..chem.mol2 import read_ligand
 from .batch import (DEFAULT_LIG_CAP, DEFAULT_REC_CAP, PocketLigandBatch,
                     stack_batch)
 from .featurize import featurize_ligand, featurize_protein
@@ -49,7 +49,7 @@ class RawPairDataset:
             return self._cache[i]
         pdb_path, sdf_path = self.pairs[i]
         atoms, residues = parse_pdb_pocket(pdb_path)
-        lig = read_sdf(sdf_path)[0]
+        lig = read_ligand(sdf_path)[0]
         if self.pocket_radius > 0:
             atoms, residues = pocket_shell(atoms, residues, lig.pos,
                                            self.pocket_radius)
@@ -88,7 +88,9 @@ def example_pairs(assets_dir: Optional[str] = None) -> List[Tuple[str, str]]:
         if not os.path.isdir(sub):
             continue
         pdb = [f for f in os.listdir(sub) if f.endswith("_protein.pdb")]
-        sdf = [f for f in os.listdir(sub) if f.endswith("_ligand.sdf")]
+        sdf = [f for f in os.listdir(sub)
+               if f.endswith("_ligand.sdf") or f.endswith("_ligand.mol2")]
+        sdf.sort(key=lambda f: f.endswith(".mol2"))   # prefer sdf if both
         if pdb and sdf:
             pairs.append((os.path.join(sub, pdb[0]), os.path.join(sub, sdf[0])))
     return pairs
@@ -175,12 +177,13 @@ def scan_pair_dir(root: str) -> List[Tuple[str, str]]:
     pairs: List[Tuple[str, str]] = []
     for dirpath, _dirnames, filenames in os.walk(root):
         pdbs = [f for f in filenames if f.endswith(".pdb")]
-        sdfs = [f for f in filenames if f.endswith(".sdf")
+        sdfs = [f for f in filenames
+                if (f.endswith(".sdf") or f.endswith(".mol2"))
                 and "frag" not in f.lower()]
         if not pdbs or not sdfs:
             continue
         for sdf in sorted(sdfs):
-            stem = sdf[:-4].replace("_ligand", "")
+            stem = os.path.splitext(sdf)[0].replace("_ligand", "")
             best = None
             for pdb in pdbs:
                 p = pdb[:-4]

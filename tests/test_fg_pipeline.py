@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from cbgbench_tpu.chem import read_sdf
+from cbgbench_tpu.chem import read_ligand, read_sdf
 from cbgbench_tpu.chem.fg_detect import (FRAME_ANCHORS, atoms_from_fg,
                                          decompose_fg)
 from cbgbench_tpu.chem.smiles import parse_smiles
@@ -30,7 +30,7 @@ def test_smiles_parser_matches_element_tables():
 def test_decompose_covers_and_finds_rings():
     found_ring_motif = 0
     for pdb, sdf in example_pairs():
-        mol = read_sdf(sdf)[0]
+        mol = read_ligand(sdf)[0]
         fgs = decompose_fg(mol)
         covered = sorted(a for f in fgs for a in f["atoms"])
         assert covered == list(range(mol.num_atoms))
@@ -48,7 +48,7 @@ def test_assembly_roundtrip_geometry():
     """Detect benzene in a real ligand, reassemble from (center, R, wid):
     atom positions must land near the originals."""
     for pdb, sdf in example_pairs():
-        mol = read_sdf(sdf)[0]
+        mol = read_ligand(sdf)[0]
         fgs = [f for f in decompose_fg(mol) if f["key"] == "c1ccccc1"]
         if not fgs:
             continue

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cbgbench_tpu.chem import read_sdf
+from cbgbench_tpu.chem import read_ligand
 from cbgbench_tpu.chem.moltree import MotifVocab, bfs_motif_order, tree_decomp
 from cbgbench_tpu.data.dataset import RawPairDataset, example_pairs
 from cbgbench_tpu.data.flag_data import build_flag_sample, stack_flag_batch
@@ -14,7 +14,7 @@ from cbgbench_tpu.models.flag import FLAG
 
 @pytest.fixture(scope="module")
 def mols():
-    return [read_sdf(p)[0] for p, in
+    return [read_ligand(p)[0] for p, in
             [(pair[1],) for pair in example_pairs()]]
 
 
