@@ -29,7 +29,8 @@ def evaluate_folder(result_root: str, num_samples: int = 200,
                                   eval_steric_clash)
     from ..tools.interaction import analyze_interactions
     from ..tools.scoring import get_chem
-    from ..tools.substructure import eval_atom_type, eval_ring_type
+    from ..tools.substructure import (eval_atom_type, eval_fg_type,
+                                      eval_ring_type)
     from ..chem.pdb import parse_pdb_pocket
 
     pocket_dirs = sorted(d for d in glob.glob(os.path.join(result_root, "*"))
@@ -87,6 +88,7 @@ def evaluate_folder(result_root: str, num_samples: int = 200,
         report.update(analyze_stability(all_mols))
         report.update(eval_atom_type(all_mols))
         report.update(eval_ring_type(all_mols))
+        report.update(eval_fg_type(all_mols))
     if clash_rows:
         report["clash_ratio"] = float(np.mean(
             [r["lig_pro_clash_detected"] for r in clash_rows]))

@@ -89,3 +89,67 @@ def eval_ring_type(mols) -> Dict[str, float]:
                for k in CROSSDOCKED_RING_RATIO}
     return {"ring_type_jsd": _jsd_over_ref_keys(dist, CROSSDOCKED_RING_FREQ),
             "ring_type_mae": _ratio_mae(per_mol, CROSSDOCKED_RING_RATIO)}
+
+
+# CrossDocked functional-group frequencies over the 25-motif vocabulary
+# (reference: eval_fg_type.py:10-58 FUNCTIONAL_GROUPS_DISTRIBUTION/_RATIO).
+# The reference extracts FGs with the EFGs package; here the pure-python
+# VF2 motif matcher (chem/fg_detect.py) plays that role.
+CROSSDOCKED_FG_FREQ = {
+    "c1ccccc1": 0.39202252631956525, "NC=O": 0.14653765446491024,
+    "O=CO": 0.11915693694663151, "c1ccncc1": 0.045181173066461015,
+    "c1ncc2nc[nH]c2n1": 0.03398377483245751, "NS(=O)=O": 0.03025330152865709,
+    "O=P(O)(O)O": 0.022272240854661, "OCO": 0.01914557813368725,
+    "c1cncnc1": 0.017830347161193513, "c1cn[nH]c1": 0.016153427671263997,
+    "O=P(O)O": 0.015755869218214754, "c1ccc2ccccc2c1": 0.014174602889921145,
+    "c1ccsc1": 0.012955025079063317, "N=CN": 0.012898231014341996,
+    "NC(N)=O": 0.012455835141775921,
+    "O=c1cc[nH]c(=O)[nH]1": 0.012390073593151234,
+    "c1ccc2ncccc2c1": 0.010518858618648779, "c1cscn1": 0.010360433069689307,
+    "c1ccc2[nH]cnc2c1": 0.010348476424484818,
+    "c1c[nH]cn1": 0.008859874096525997, "O=[N+][O-]": 0.008076713835631999,
+    "O=CNO": 0.007404152542879519, "NC(=O)O": 0.007287575252135756,
+    "O=S=O": 0.007099258090165062, "c1ccc2[nH]ccc2c1": 0.0068780601538820235,
+}
+CROSSDOCKED_FG_RATIO = {
+    "c1ccccc1": 0.7125401370227701, "NC=O": 0.26634683820772914,
+    "O=CO": 0.21657964652254463, "c1ccncc1": 0.08212129938008335,
+    "c1ncc2nc[nH]c2n1": 0.06176890854463563, "NS(=O)=O": 0.05498840033250569,
+    "O=P(O)(O)O": 0.04048202459020847, "OCO": 0.034799002482926486,
+    "c1cncnc1": 0.03240843869018836, "c1cn[nH]c1": 0.029360469854447263,
+    "O=P(O)O": 0.028637867617096878, "c1ccc2ccccc2c1": 0.025763757966282184,
+    "c1ccsc1": 0.023547053358470474, "N=CN": 0.02344382446742042,
+    "NC(N)=O": 0.02263972573713578,
+    "O=c1cc[nH]c(=O)[nH]1": 0.02252019754749887,
+    "c1ccc2ncccc2c1": 0.019119077242376003, "c1cscn1": 0.01883112296734164,
+    "c1ccc2[nH]cnc2c1": 0.01880939056922584,
+    "c1c[nH]cn1": 0.0161037070038086, "O=[N+][O-]": 0.014680234927223632,
+    "O=CNO": 0.01345778753320982, "NC(=O)O": 0.01324589665158076,
+    "O=S=O": 0.012903611381256893, "c1ccc2[nH]ccc2c1": 0.012501562016114574,
+}
+
+
+def fg_counts(mols: Sequence[Molecule]) -> collections.Counter:
+    """Motif occurrence counts over the 25-FG vocabulary (reference:
+    eval_fg_type.py:88-97 get_func_group_from_mol via EFGs mol2frag)."""
+    from ..chem.fg_detect import decompose_fg
+    counter: collections.Counter = collections.Counter()
+    for m in mols:
+        try:
+            fgs = decompose_fg(m)
+        except Exception:
+            continue
+        counter.update(f["key"] for f in fgs if f["key"] in CROSSDOCKED_FG_FREQ)
+    return counter
+
+
+def eval_fg_type(mols) -> Dict[str, float]:
+    """FG-frequency JSD + per-molecule FG-count MAE (reference:
+    eval_fg_type.py:62-86)."""
+    counter = fg_counts(mols)
+    total = sum(counter.values()) or 1
+    dist = {k: counter.get(k, 0) / total for k in CROSSDOCKED_FG_FREQ}
+    per_mol = {k: counter.get(k, 0) / max(len(mols), 1)
+               for k in CROSSDOCKED_FG_RATIO}
+    return {"fg_type_jsd": _jsd_over_ref_keys(dist, CROSSDOCKED_FG_FREQ),
+            "fg_type_mae": _ratio_mae(per_mol, CROSSDOCKED_FG_RATIO)}
