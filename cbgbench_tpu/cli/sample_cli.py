@@ -79,6 +79,19 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
             # ligand class indices live below num_classes in the merged vocab
             atype = np.clip(np.asarray(out["z"]), 0, model.num_classes - 1)
             yield np.asarray(out["pos"]), atype, gmask
+        elif model_type == "flag":
+            from ..sampling.flag_sample import sample_flag, vocab_from_dataset
+            if not hasattr(ds, "_flag_vocab"):
+                ds._flag_vocab = vocab_from_dataset(ds)
+            mols = []
+            for s in range(bs):
+                m = sample_flag(model, params, base, ds._flag_vocab,
+                                seed=seed + bi * 997 + s,
+                                max_steps=lig_cap // 4,
+                                lig_cap=min(lig_cap, 64), rec_cap=rec_cap)
+                if m is not None:
+                    mols.append(m)
+            yield ("mols", mols)
         else:
             raise ValueError(model_type)
         done += bs
@@ -151,7 +164,7 @@ def main(argv=None):
         t_start = time.time()
         n_done = n_valid = 0
         mols = []
-        if model_cfg["type"] in ("pocket2mol", "graphbp"):
+        if model_cfg["type"] in ("pocket2mol", "graphbp", "flag"):
             batches = _sample_ar_batches(
                 model_cfg["type"], model, params, ds, i, num_samples,
                 args.batch_size, seed, min(args.lig_cap, 64), args.rec_cap)
@@ -162,6 +175,22 @@ def main(argv=None):
                                 transform, seed=seed, lig_cap=args.lig_cap,
                                 rec_cap=args.rec_cap))
         for bi, batch in enumerate(iterator):
+            if isinstance(batch, tuple) and batch[0] == "mols":
+                # FLAG yields whole molecules (bonds known from templates)
+                for mol in batch[1]:
+                    if n_done >= num_samples:
+                        break
+                    n_done += 1
+                    try:
+                        frag, ok = evaluate_validity(mol)
+                    except Exception:
+                        ok = False
+                    if ok:
+                        write_sdf(os.path.join(out_dir, f"{n_valid}.sdf"),
+                                  frag)
+                        mols.append(frag)
+                        n_valid += 1
+                continue
             if batches is not None:
                 pos, atype, mask = batch
             else:

@@ -75,9 +75,11 @@ def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
             lambda s_, r: build_graphbp_sample(s_, r),
             lambda b_: stack_graphbp_batch(b_, cap=lig_cap + rec_cap))
     if model_type == "flag":
-        from ..chem.moltree import MotifVocab
         from ..data.flag_data import build_flag_sample, stack_flag_batch
-        vocab = MotifVocab()
+        from ..sampling.flag_sample import vocab_from_dataset
+        # deterministic pre-seed (index order) so sampling-time vocab wids
+        # match training regardless of shuffling
+        vocab = vocab_from_dataset(ds)
         return generic(
             lambda s_, r: build_flag_sample(s_, vocab, r),
             lambda b_: stack_flag_batch(b_, lig_cap=min(lig_cap, 64),

@@ -65,14 +65,9 @@ class FLAGBatch:
         return self.rec_pos.shape[0]
 
 
-def build_flag_sample(sample: dict, vocab: MotifVocab,
-                      rng: np.random.Generator, num_cand: int = 8,
-                      cand_atoms: int = 48, dm_cap: int = 32) -> Optional[dict]:
-    lig_d, rec = sample["ligand"], sample["protein"]
-    mol = Molecule(np.zeros(0), np.zeros((0, 3)))
-    mol.atomic_numbers = np.asarray(
-        sample.get("ligand_z", lig_d.get("z", np.zeros(0))))
-    # rebuild a Molecule from featurized arrays
+def mol_from_featurized(lig_d: dict) -> Molecule:
+    """Rebuild a Molecule from featurized ligand arrays (atype class
+    indices -> atomic numbers, bond_index/bond_type -> bonds)."""
     from ..constants.molecule import get_atomic_number_from_index
     z = np.array(get_atomic_number_from_index(lig_d["atype"], "basic")) \
         if lig_d["atype"].max() < 8 else lig_d["atype"]
@@ -81,6 +76,14 @@ def build_flag_sample(sample: dict, vocab: MotifVocab,
     if bi is not None and bi.size:
         for k_ in range(bi.shape[1]):
             mol.add_bond(int(bi[0, k_]), int(bi[1, k_]), int(bt[k_]))
+    return mol
+
+
+def build_flag_sample(sample: dict, vocab: MotifVocab,
+                      rng: np.random.Generator, num_cand: int = 8,
+                      cand_atoms: int = 48, dm_cap: int = 32) -> Optional[dict]:
+    lig_d, rec = sample["ligand"], sample["protein"]
+    mol = mol_from_featurized(lig_d)
 
     cliques, edges = tree_decomp(mol)
     wids = [vocab.add(mol, c) for c in cliques]

@@ -164,12 +164,24 @@ class FLAG(nn.Module):
 
     # ------------------------------------------------------------------
 
-    def predict_step(self, batch: FLAGBatch):
-        """Sampling-time heads: (motif logits, focal logits lig/rec,
-        comb logits) for the host growth loop."""
+    def predict_step(self, batch: FLAGBatch, from_protein: bool = False):
+        """Sampling-time heads for the host growth loop
+        (reference: flag.py:172-221 sample_init + :251-389 sample):
+        motif logits, focal logits (lig/rec), comb logits over candidate
+        graphs, predicted rec<->new-atom distances (dm fields), and the
+        graft-bond torsion angle (tor fields).
+
+        from_protein pools the motif-head node hidden from protein atoms
+        given in focal_atoms (the reference's sample_init step, where no
+        ligand exists yet)."""
         x, h, vec, mask, nl = self.encode(batch)
         h_lig, h_rec = h[:, :nl], h[:, nl:]
-        motif_logits = self.motif_logits(h_lig, batch)
+        h_pool = h_rec if from_protein else h_lig
+        h_focal = gather_neighbors(h_pool, batch.focal_atoms)
+        node_hidden = masked_sum(h_focal, batch.focal_mask, axis=1)
+        motif_hidden = self.voc_embedding(batch.current_wid)
+        motif_logits = self.W_o(nn.relu(self.W(
+            jnp.concatenate([node_hidden, motif_hidden], axis=-1))))
         lf = jnp.where(batch.ctx_mask, self.focal_mlp_ligand(h_lig)[..., 0],
                        -1e9)
         pf = jnp.where(batch.rec_mask, self.focal_mlp_protein(h_rec)[..., 0],
@@ -178,8 +190,20 @@ class FLAG(nn.Module):
                                self.comb_head(batch.cand_atype,
                                               batch.cand_bond,
                                               batch.cand_mask), -1e9)
-        # distances from every rec atom to a hypothetical new atom per type
-        return motif_logits, lf, pf, comb_logit, h_rec
+        # rec-reference -> new-atom distances (same head as the dm loss)
+        h_dm_rec = gather_neighbors(h_rec, batch.dm_rec_idx)
+        h_new = self.new_atom_emb(batch.dm_new_atype)
+        pred_dm = self.dist_mlp(
+            jnp.concatenate([h_dm_rec, h_new], -1))[..., 0]
+        # graft-bond torsion
+        take = lambda arr, i: gather_neighbors(  # noqa: E731
+            arr, i[:, None, None])[:, 0, 0]
+        tor_in = jnp.concatenate(
+            [take(h_lig, batch.tor_attach), take(h_lig, batch.tor_nbr),
+             self.new_atom_emb(batch.tor_new_atype)], axis=-1)
+        sincos = self.alpha_mlp(tor_in)
+        pred_angle = jnp.arctan2(sincos[..., 0], sincos[..., 1])
+        return motif_logits, lf, pf, comb_logit, pred_dm, pred_angle
 
 
 @MODELS.register("flag")

@@ -8,15 +8,18 @@ encoder over the composed pocket graph feeds four heads — focal classifier
 energy-based real/fake contrastive pair.
 
 Sampling is redesigned for fixed shapes: a host loop appends one atom per
-graph per step into pre-allocated padded buffers (the reference's dynamic
-re-batching with probability filtering — pocket2mol.py:263-289, 718-790 —
-is a host-side concern there too; the greedy-per-step variant keeps every
-device program static).
+graph per step into pre-allocated padded buffers. Each step draws 10 MDN
+position candidates, classifies element/bonds for all of them in one
+batched head call, and keeps the best candidate that clears the
+reference's per-factor log-prob thresholds (pocket2mol.py:263-289,
+716-790) — the dynamic candidate re-batching becomes a static [B, NC]
+axis on the device.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import flax.linen as nn
@@ -262,18 +265,31 @@ class Pocket2Mol(nn.Module):
         x_f = jnp.where(use_lig[:, None], take(batch.ctx_pos, best_lig),
                         take(batch.rec_pos, best_rec))
 
+        # multi-candidate expansion + log-prob filtering (reference:
+        # pocket2mol.py:795-814 sample_position with sample_num=10 and
+        # :716-792 filter_according_to_logprob): draw n_cand positions
+        # from the MDN, classify element/bonds for ALL of them in one
+        # batched head call, keep the highest mean-log-prob candidate
+        # that clears the per-factor thresholds.
+        n_cand = 10
         _, mu, sigma, pi = self.pos_pred(h_f, vec_f, x_f)
-        new_pos = PositionPredictor.sample(k1, mu, sigma, pi, 1)[:, 0]
+        cand_pos = PositionPredictor.sample(k1, mu, sigma, pi, n_cand)
+        pdf_pos = PositionPredictor.mdn_probability(
+            mu[:, None], sigma[:, None], pi[:, None], cand_pos)   # [B, NC]
 
-        # classify element at the new position + bonds to all ctx atoms
+        # classify element at each candidate + bonds to all ctx atoms
         nlc = batch.ctx_pos.shape[1]
-        edge_ctx_idx = jnp.broadcast_to(
-            jnp.arange(nlc)[None, None], (x.shape[0], 1, nlc)).astype(jnp.int32)
-        edge_mask = batch.ctx_mask[:, None, :]
-        tri_rel = (gather_neighbors(batch.ctx_pos, edge_ctx_idx)[..., :, None, :]
-                   - gather_neighbors(batch.ctx_pos, edge_ctx_idx)[..., None, :, :])
         b = x.shape[0]
-        lin = edge_ctx_idx[..., :, None] * nlc + edge_ctx_idx[..., None, :]
+        edge_ctx_idx = jnp.broadcast_to(
+            jnp.arange(nlc)[None, None],
+            (b, n_cand, nlc)).astype(jnp.int32)
+        edge_mask = jnp.broadcast_to(batch.ctx_mask[:, None, :],
+                                     (b, n_cand, nlc))
+        idx_row = edge_ctx_idx[:, :1]
+        tri_rel = (gather_neighbors(batch.ctx_pos, idx_row)[..., :, None, :]
+                   - gather_neighbors(batch.ctx_pos, idx_row)[..., None, :, :])
+        tri_rel = jnp.broadcast_to(tri_rel, (b, n_cand, nlc, nlc, 3))
+        lin = idx_row[..., :, None] * nlc + idx_row[..., None, :]
         flat = batch.ctx_bond.reshape(b, -1).astype(jnp.float32)
         onehot = jax.nn.one_hot(lin.reshape(b, -1), nlc * nlc)
         vals = jax.lax.dot_general(onehot, flat[..., None],
@@ -281,15 +297,47 @@ class Pocket2Mol(nn.Module):
         tri_type = jnp.round(vals).astype(jnp.int32).reshape(b, 1, nlc, nlc)
         tri_type = jnp.where(jnp.eye(nlc, dtype=bool)[None, None], -1, tri_type)
         tri_feat = jax.nn.one_hot(tri_type, self.num_edge_classes)
+        tri_feat = jnp.broadcast_to(
+            tri_feat, (b, n_cand, nlc, nlc, self.num_edge_classes))
 
         y_cls, edge_pred = self.atom_edge_pred(
-            x, h, vec, mask, new_pos[:, None], jnp.ones((b, 1), bool),
+            x, h, vec, mask, cand_pos, jnp.ones((b, n_cand), bool),
             edge_ctx_idx=edge_ctx_idx, edge_mask=edge_mask,
-            tri_rel=tri_rel, tri_feat=tri_feat)
-        new_type = jax.random.categorical(k2, y_cls[:, 0] / temperature)
-        bond_types = jnp.argmax(edge_pred[:, 0], axis=-1)     # [B, NL]
-        bond_types = jnp.where(batch.ctx_mask, bond_types, 0)
-        return new_pos, new_type, bond_types, focal_found
+            tri_rel=tri_rel, tri_feat=tri_feat)   # [B,NC,K], [B,NC,NL,E]
+        new_type_c = jax.random.categorical(k2, y_cls / temperature)
+        type_probs = jax.nn.softmax(y_cls, -1)
+        p_type = jnp.take_along_axis(type_probs, new_type_c[..., None],
+                                     -1)[..., 0]
+        # p(an atom exists here) = sigmoid(logsumexp(logits))
+        # (reference: pocket2mol.py:374)
+        p_has_atom = jax.nn.sigmoid(
+            jax.scipy.special.logsumexp(y_cls, axis=-1))
+        bond_types_c = jnp.argmax(edge_pred, axis=-1)         # [B,NC,NL]
+        bond_types_c = jnp.where(edge_mask, bond_types_c, 0)
+        edge_probs = jax.nn.softmax(edge_pred, -1)
+        p_bond = jnp.take_along_axis(edge_probs, bond_types_c[..., None],
+                                     -1)[..., 0]
+        best_bond_p = jnp.max(
+            jnp.where((bond_types_c > 0) & edge_mask, p_bond, 0.0), axis=-1)
+        p_focal = jax.nn.sigmoid(best_logit)[:, None]
+
+        lg = lambda v: jnp.log(v + 1e-12)                     # noqa: E731
+        score = (lg(pdf_pos) + lg(p_type) + lg(p_has_atom)
+                 + lg(jnp.broadcast_to(p_focal, pdf_pos.shape))) / 4.0
+        passed = ((lg(pdf_pos) > math.log(0.25))
+                  & (lg(p_type) > math.log(0.3))
+                  & (lg(p_has_atom) > math.log(0.6))
+                  & (lg(p_focal) > math.log(0.5)))
+        # bond gate only applies once a ligand context exists
+        passed &= jnp.where(has_ctx[:, None],
+                            lg(best_bond_p) > math.log(0.4), True)
+        score_gated = jnp.where(passed, score, -jnp.inf)
+        sel = jnp.where(passed.any(-1), jnp.argmax(score_gated, -1),
+                        jnp.argmax(score, -1))                # [B]
+        pick = lambda arr: jnp.take_along_axis(                # noqa: E731
+            arr, sel.reshape((b,) + (1,) * (arr.ndim - 1)), 1)[:, 0]
+        return (pick(cand_pos), pick(new_type_c), pick(bond_types_c),
+                focal_found)
 
 
 @MODELS.register("pocket2mol")

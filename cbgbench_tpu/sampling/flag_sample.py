@@ -1,0 +1,396 @@
+"""FLAG autoregressive motif-growth sampling (host loop).
+
+Rewrite of the reference sampler (reference: repo/models/autoregression/
+flag.py:172-221 sample_init, :232-249 forward_attach, :251-389 sample):
+
+  * init: pick the highest-scoring protein focal atom, predict the first
+    motif from the start token, and place its template by classical MDS —
+    embed the joint squared-distance matrix of [4 reference protein atoms
+    | motif atoms] (protein block exact, cross block predicted by the
+    dist head, motif block from the template geometry), then Kabsch-align
+    the protein sub-coordinates onto their true positions and nudge the
+    motif toward the pocket center (the reference's eig_coord_from_dist +
+    kabsch_torch path, flag.py:192-211).
+  * growth: sample a ligand focal atom from the focal head, predict the
+    next motif (uniform over the top-5 classes, flag.py:111-115), graft
+    its template at the comb-head's best frontier site, place the new
+    atoms by the same MDS construction anchored near the attach atom, and
+    rotate the new motif about the graft bond to the torsion head's angle.
+
+Divergence by design: the reference re-embeds each fragment with RDKit +
+UFF; here motif geometry comes from the data-harvested vocabulary
+templates (chem/moltree.py), so no force field runs in the loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+from ..chem.mol import Molecule
+from ..chem.moltree import MotifVocab, tree_decomp
+from ..constants.molecule import get_atomic_number_from_index
+from ..data.flag_data import build_flag_sample, stack_flag_batch
+
+
+def eig_coord_from_dist(D: np.ndarray) -> np.ndarray:
+    """Classical MDS: squared-distance matrix [n,n] -> coords [n,3]."""
+    n = D.shape[0]
+    J = np.eye(n) - 1.0 / n
+    G = -0.5 * J @ D @ J
+    w, v = np.linalg.eigh(G)
+    idx = np.argsort(w)[::-1][:3]
+    return v[:, idx] * np.sqrt(np.maximum(w[idx], 1e-9))
+
+
+def kabsch_apply(P: np.ndarray, Q: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Rigidly move X by the transform aligning P onto Q (least squares)."""
+    pc, qc = P.mean(0), Q.mean(0)
+    H = (P - pc).T @ (Q - qc)
+    U, _S, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    R = Vt.T @ np.diag([1.0, 1.0, d]) @ U.T
+    return (X - pc) @ R.T + qc
+
+
+def _sq_dist(x: np.ndarray) -> np.ndarray:
+    d = x[:, None] - x[None]
+    return np.sum(d * d, -1)
+
+
+def _mds_place(ref_pos: np.ndarray, tmpl_pos: np.ndarray,
+               d_cross: np.ndarray) -> np.ndarray:
+    """Place template atoms given exact ref-ref and tmpl-tmpl distances and
+    predicted ref-tmpl distances (reference: flag.py:204-209)."""
+    nr = len(ref_pos)
+    dm2 = d_cross ** 2                       # [nr, nt] squared
+    top = np.concatenate([_sq_dist(ref_pos), dm2], axis=1)
+    bot = np.concatenate([dm2.T, _sq_dist(tmpl_pos)], axis=1)
+    coords = eig_coord_from_dist(np.concatenate([top, bot], axis=0))
+    # MDS is chirality-blind: try the mirror too and keep whichever lets a
+    # proper rotation align the reference block better
+    best, best_err = None, np.inf
+    for c in (coords, coords * np.array([1.0, 1.0, -1.0])):
+        aligned_ref = kabsch_apply(c[:nr], ref_pos, c[:nr])
+        err = float(np.sum((aligned_ref - ref_pos) ** 2))
+        if err < best_err:
+            best_err = err
+            best = kabsch_apply(c[:nr], ref_pos, c[nr:])
+    return best
+
+
+def _rotate_about_axis(pos, a0, a1, angle):
+    axis = a1 - a0
+    n = np.linalg.norm(axis)
+    if n < 1e-8:
+        return pos
+    k = axis / n
+    v = pos - a0
+    return (v * np.cos(angle)
+            + np.cross(k, v) * np.sin(angle)
+            + k[None] * (v @ k)[:, None] * (1 - np.cos(angle))) + a0
+
+
+def _dihedral(p0, p1, p2, p3):
+    b0, b1, b2 = p1 - p0, p2 - p1, p3 - p2
+    b1n = b1 / max(np.linalg.norm(b1), 1e-8)
+    v = b0 - (b0 @ b1n) * b1n
+    w = b2 - (b2 @ b1n) * b1n
+    return float(np.arctan2(np.cross(b1n, v) @ w, v @ w))
+
+
+@functools.partial(__import__("jax").jit,
+                   static_argnames=("model", "from_protein"))
+def _jit_predict(model, params, batch, from_protein=False):
+    return model.apply(params, batch, from_protein=from_protein,
+                       method="predict_step")
+
+
+def vocab_from_dataset(ds) -> MotifVocab:
+    """Deterministic vocabulary: decompose every dataset ligand in index
+    order (train and sample CLIs call this identically, so wids agree)."""
+    from ..data.flag_data import mol_from_featurized
+    vocab = MotifVocab()
+    rng = np.random.default_rng(0)
+    for i in range(len(ds)):
+        try:
+            s = ds.get(i, rng)
+            mol = mol_from_featurized(s["ligand"])
+        except Exception:
+            continue
+        cliques, _ = tree_decomp(mol)
+        for c in cliques:
+            vocab.add(mol, c)
+    return vocab
+
+
+class _GrowState:
+    def __init__(self):
+        self.pos = np.zeros((0, 3), np.float32)
+        self.atype = np.zeros((0,), np.int32)
+        self.bonds: dict = {}
+        self.atom_to_motif: dict = {}
+        self.motif_atoms: dict = {}
+        self.motif_wid: dict = {}
+
+
+def _make_batch(rec, st: _GrowState, focal_atoms, current_wid, cands,
+                dm, tor, lig_cap, rec_cap, num_cand, cand_atoms, dm_cap):
+    n = len(st.atype)
+    ctx_bond = np.zeros((n, n), np.int8)
+    for (a, b), cls in st.bonds.items():
+        ctx_bond[a, b] = ctx_bond[b, a] = cls
+    sample = {
+        "protein": rec,
+        "rec_contact": np.zeros(len(rec["pos"]), bool),
+        "ctx_pos": st.pos, "ctx_atype": st.atype, "ctx_bond": ctx_bond,
+        "ctx_frontier": np.zeros(n, bool),
+        "focal_atoms": list(focal_atoms), "current_wid": int(current_wid),
+        "next_wid": 0,
+        "cand_atype": cands[0], "cand_bond": cands[1],
+        "cand_mask": cands[2], "cand_valid": cands[3],
+        "cand_labels": np.zeros(num_cand, np.float32),
+        "dm_rec_idx": dm[0], "dm_new_atype": dm[1],
+        "dm_true": np.zeros(dm_cap, np.float32), "dm_mask": dm[2],
+        "tor_attach": tor[0], "tor_nbr": tor[1], "tor_new_atype": tor[2],
+        "tor_true": 0.0, "tor_valid": bool(tor[3]),
+        "translation": np.zeros(3, np.float32),
+    }
+    return stack_flag_batch([sample], lig_cap=lig_cap, rec_cap=rec_cap)
+
+
+def _empty_cands(num_cand, cand_atoms):
+    return (np.zeros((num_cand, cand_atoms), np.int32),
+            np.zeros((num_cand, cand_atoms, cand_atoms), np.int8),
+            np.zeros((num_cand, cand_atoms), bool),
+            np.zeros(num_cand, bool))
+
+
+def _build_cands(st: _GrowState, tmpl, sites, num_cand, cand_atoms,
+                 featurize_mode):
+    """Candidate 2D graphs grafting the template at each site — the same
+    construction as training (data/flag_data.py:129-160)."""
+    from ..data.featurize import featurize_ligand
+    cands = _empty_cands(num_cand, cand_atoms)
+    nctx, nt = len(st.atype), len(tmpl["z"])
+    if nctx + nt > cand_atoms:
+        return cands, []
+    t_atype = featurize_ligand(Molecule(tmpl["z"], tmpl["pos"]),
+                               featurize_mode, keep_bonds=False)["atype"]
+    used = []
+    for c_i, site in enumerate(sites[:num_cand]):
+        cands[0][c_i, :nctx] = st.atype
+        cands[0][c_i, nctx:nctx + nt] = t_atype
+        for (a, b), cls in st.bonds.items():
+            cands[1][c_i, a, b] = cands[1][c_i, b, a] = cls
+        for (a, b), cls in tmpl["bonds"].items():
+            cands[1][c_i, nctx + a, nctx + b] = cls
+            cands[1][c_i, nctx + b, nctx + a] = cls
+        cands[1][c_i, site, nctx] = 1
+        cands[1][c_i, nctx, site] = 1
+        cands[2][c_i, :nctx + nt] = True
+        cands[3][c_i] = True
+        used.append(site)
+    return cands, used
+
+
+def _free_valence_sites(st: _GrowState):
+    from ..constants.molecule import MAX_VALENCE
+    z = get_atomic_number_from_index(st.atype, "basic") \
+        if st.atype.size and st.atype.max() < 8 else st.atype
+    out = []
+    for i in range(len(st.atype)):
+        order = sum(min(cls, 3) for (a, b), cls in st.bonds.items()
+                    if i in (a, b))
+        if order < MAX_VALENCE.get(int(np.atleast_1d(z)[i]), 4):
+            out.append(i)
+    return out
+
+
+def _top5_sample(logits: np.ndarray, vocab_n: int,
+                 rng: np.random.Generator) -> int:
+    """Uniform draw from the top-5 classes (reference: flag.py:111-115)."""
+    logits = np.asarray(logits[:vocab_n], np.float64)
+    top = np.argsort(logits)[::-1][:min(5, vocab_n)]
+    return int(rng.choice(top))
+
+
+def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
+                seed: int = 0, max_steps: int = 12, lig_cap: int = 64,
+                rec_cap: int = 448, num_cand: int = 8, cand_atoms: int = 48,
+                dm_cap: int = 32,
+                featurize_mode: str = "basic") -> Optional[Molecule]:
+    """Grow one ligand in the given pocket. Returns a Molecule (positions,
+    elements, bonds) or None if generation failed to start."""
+    import jax.numpy as jnp  # noqa: F401
+
+    rng = np.random.default_rng(seed)
+    rec = base_sample["protein"]
+    rec_pos = np.asarray(rec["pos"], np.float32)
+    center = rec_pos.mean(0)
+    vocab_n = vocab.size()
+    st = _GrowState()
+
+    def predict(focal_atoms, wid, cands=None, dm=None, tor=None,
+                from_protein=False):
+        cands = cands if cands is not None else _empty_cands(num_cand,
+                                                             cand_atoms)
+        dm = dm if dm is not None else (np.zeros(dm_cap, np.int32),
+                                        np.zeros(dm_cap, np.int32),
+                                        np.zeros(dm_cap, bool))
+        tor = tor if tor is not None else (0, 0, 0, False)
+        batch = _make_batch(rec, st, focal_atoms, wid, cands, dm, tor,
+                            lig_cap, rec_cap, num_cand, cand_atoms, dm_cap)
+        out = _jit_predict(model, params, batch, from_protein=from_protein)
+        return [np.asarray(o)[0] for o in out]
+
+    # ---- init (reference sample_init) --------------------------------
+    ml, _lf, pf, *_ = predict([], vocab_n, from_protein=False)
+    focal_rec = int(np.argmax(pf))
+    ml, *_ = predict([focal_rec], vocab_n, from_protein=True)
+    wid0 = _top5_sample(ml, vocab_n, rng)
+    tmpl = vocab.templates.get(wid0)
+    if tmpl is None:
+        return None
+
+    ref_idx = np.argsort(np.linalg.norm(
+        rec_pos - rec_pos[focal_rec], axis=-1))[:4]
+    nt = len(tmpl["z"])
+    from ..data.featurize import featurize_ligand
+    t_atype = featurize_ligand(Molecule(tmpl["z"], tmpl["pos"]),
+                               featurize_mode, keep_bonds=False)["atype"]
+    dm_rec = np.zeros(dm_cap, np.int32)
+    dm_at = np.zeros(dm_cap, np.int32)
+    dm_mask = np.zeros(dm_cap, bool)
+    k = 0
+    for a in range(nt):
+        for r in ref_idx:
+            if k < dm_cap:
+                dm_rec[k], dm_at[k], dm_mask[k] = r, t_atype[a], True
+                k += 1
+    _, _, _, _, pred_dm, _ = predict([focal_rec], vocab_n,
+                                     dm=(dm_rec, dm_at, dm_mask),
+                                     from_protein=True)
+    d_cross = np.zeros((4, nt), np.float32)
+    k = 0
+    for a in range(nt):
+        for j in range(4):
+            if k < dm_cap:
+                d_cross[j, a] = max(pred_dm[k], 1.0)
+                k += 1
+    new_pos = _mds_place(rec_pos[ref_idx], tmpl["pos"], d_cross)
+    new_pos = new_pos + (center - new_pos.mean(0)) * 0.8  # flag.py:210-211
+
+    st.pos = new_pos.astype(np.float32)
+    st.atype = np.asarray(t_atype, np.int32)
+    st.bonds = dict(tmpl["bonds"])
+    st.motif_atoms[0] = list(range(nt))
+    st.motif_wid[0] = wid0
+    for a in range(nt):
+        st.atom_to_motif[a] = 0
+
+    # ---- growth loop (reference sample, flag.py:251-389) -------------
+    for step in range(1, max_steps):
+        sites_all = _free_valence_sites(st)
+        if not sites_all:
+            break
+        _, lf, _pf, *_ = predict([], vocab_n)
+        scores = np.exp(lf[:len(st.atype)]
+                        - np.max(lf[:len(st.atype)]))
+        allowed = np.zeros(len(st.atype))
+        allowed[sites_all] = scores[sites_all]
+        if allowed.sum() <= 0:
+            break
+        focal_atom = int(rng.choice(len(st.atype), p=allowed / allowed.sum()))
+        motif_id = st.atom_to_motif[focal_atom]
+        focal_atoms = st.motif_atoms[motif_id]
+        cur_wid = st.motif_wid[motif_id]
+
+        ml, *_ = predict(focal_atoms, cur_wid)
+        next_wid = _top5_sample(ml, vocab_n, rng)
+        tmpl = vocab.templates.get(next_wid)
+        if tmpl is None:
+            break
+        nt = len(tmpl["z"])
+        nctx = len(st.atype)
+        if nctx + nt > min(lig_cap, cand_atoms):
+            break
+
+        # candidate sites: free-valence atoms of the focal motif first,
+        # then any free-valence atom
+        sites = [s for s in sites_all if s in focal_atoms] or sites_all
+        cands, used = _build_cands(st, tmpl, sites, num_cand, cand_atoms,
+                                   featurize_mode)
+        if not used:
+            break
+        _, _, _, comb, *_ = predict(focal_atoms, cur_wid, cands=cands)
+        attach = used[int(np.argmax(comb[:len(used)]))]
+
+        # place new atoms: MDS against 4 rec refs nearest the attach atom
+        ref_idx = np.argsort(np.linalg.norm(
+            rec_pos - st.pos[attach], axis=-1))[:4]
+        t_atype = featurize_ligand(Molecule(tmpl["z"], tmpl["pos"]),
+                                   featurize_mode,
+                                   keep_bonds=False)["atype"]
+        dm_rec = np.zeros(dm_cap, np.int32)
+        dm_at = np.zeros(dm_cap, np.int32)
+        dm_mask = np.zeros(dm_cap, bool)
+        k = 0
+        for a in range(nt):
+            for r in ref_idx:
+                if k < dm_cap:
+                    dm_rec[k], dm_at[k], dm_mask[k] = r, t_atype[a], True
+                    k += 1
+        nbrs = [b if a == focal_atom else a
+                for (a, b) in st.bonds if focal_atom in (a, b)]
+        tor_nbr = nbrs[0] if nbrs else attach
+        _, _, _, _, pred_dm, pred_alpha = predict(
+            focal_atoms, cur_wid, dm=(dm_rec, dm_at, dm_mask),
+            tor=(attach, tor_nbr, int(t_atype[0]), True))
+        d_cross = np.zeros((4, nt), np.float32)
+        k = 0
+        for a in range(nt):
+            for j in range(4):
+                if k < dm_cap:
+                    d_cross[j, a] = max(pred_dm[k], 1.0)
+                    k += 1
+        new_pos = _mds_place(rec_pos[ref_idx], tmpl["pos"], d_cross)
+        # enforce the graft-bond length toward the attach atom
+        d0 = new_pos[0] - st.pos[attach]
+        n0 = np.linalg.norm(d0)
+        if n0 < 1e-6:
+            d0, n0 = rng.normal(size=3), 1.0
+            n0 = np.linalg.norm(d0)
+        new_pos = new_pos + (st.pos[attach] + d0 / n0 * 1.5 - new_pos[0])
+
+        # torsion about the graft bond (reference: flag.py:350-376)
+        if nt > 1 and tor_nbr != attach:
+            cur = _dihedral(st.pos[tor_nbr], st.pos[attach],
+                            new_pos[0], new_pos[1])
+            new_pos[1:] = _rotate_about_axis(
+                new_pos[1:], st.pos[attach], new_pos[0],
+                float(pred_alpha) - cur)
+
+        # commit
+        base = len(st.atype)
+        st.pos = np.concatenate([st.pos, new_pos.astype(np.float32)])
+        st.atype = np.concatenate([st.atype,
+                                   np.asarray(t_atype, np.int32)])
+        for (a, b), cls in tmpl["bonds"].items():
+            st.bonds[(base + a, base + b)] = cls
+        st.bonds[(attach, base)] = 1
+        st.motif_atoms[step] = list(range(base, base + nt))
+        st.motif_wid[step] = next_wid
+        for a in range(base, base + nt):
+            st.atom_to_motif[a] = step
+
+    if len(st.atype) == 0:
+        return None
+    z = np.asarray(get_atomic_number_from_index(st.atype, "basic")
+                   if st.atype.max() < 8 else st.atype)
+    mol = Molecule(z, st.pos.astype(np.float64))
+    for (a, b), cls in st.bonds.items():
+        mol.add_bond(int(a), int(b), int(min(cls, 3)))
+    return mol

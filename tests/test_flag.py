@@ -95,7 +95,48 @@ def test_flag_training_decreases(flag_setup):
 
 def test_flag_predict_step(flag_setup):
     model, params, batch, vocab = flag_setup
-    motif_logits, lf, pf, comb, h_rec = model.apply(params, batch,
-                                                    method="predict_step")
+    motif_logits, lf, pf, comb, pred_dm, pred_angle = model.apply(
+        params, batch, method="predict_step")
     assert motif_logits.shape[-1] == model.vocab_size
     assert np.isfinite(np.asarray(motif_logits)).all()
+    assert np.isfinite(np.asarray(pred_dm)).all()
+    assert np.all(np.abs(np.asarray(pred_angle)) <= np.pi + 1e-5)
+
+
+def test_flag_sampling_grows_molecule(flag_setup):
+    from cbgbench_tpu.sampling.flag_sample import sample_flag
+    model, params, batch, vocab = flag_setup
+    ds = RawPairDataset(example_pairs()[:1], mode="basic", pocket_radius=6.0)
+    base = ds.get(0, np.random.default_rng(0))
+    mol = sample_flag(model, params, base, vocab, seed=3, max_steps=4,
+                      lig_cap=64, rec_cap=288)
+    assert mol is not None
+    assert mol.num_atoms >= 2
+    assert len(mol.bonds) >= 1
+    assert np.isfinite(mol.pos).all()
+    # grown structure is connected
+    seen = {0}
+    frontier = [0]
+    adj = {i: [] for i in range(mol.num_atoms)}
+    for (a, b) in mol.bonds:
+        adj[a].append(b)
+        adj[b].append(a)
+    while frontier:
+        cur = frontier.pop()
+        for n in adj[cur]:
+            if n not in seen:
+                seen.add(n)
+                frontier.append(n)
+    assert len(seen) == mol.num_atoms
+
+
+def test_flag_mds_placement_roundtrip():
+    """MDS + Kabsch reproduces a known geometry when fed exact distances."""
+    from cbgbench_tpu.sampling.flag_sample import _mds_place
+    rng = np.random.default_rng(0)
+    ref = rng.normal(size=(4, 3)) * 3
+    tmpl_true = rng.normal(size=(5, 3)) * 2 + np.array([5.0, 0, 0])
+    d_cross = np.linalg.norm(ref[:, None] - tmpl_true[None], axis=-1)
+    tmpl_centered = tmpl_true - tmpl_true.mean(0)
+    placed = _mds_place(ref, tmpl_centered, d_cross)
+    np.testing.assert_allclose(placed, tmpl_true, atol=1e-4)
