@@ -83,8 +83,20 @@ class MotifVocab:
         if key not in self.key_to_id:
             wid = len(self.key_to_id)
             self.key_to_id[key] = wid
-            # store a centered template geometry + topology
-            idx = list(clique)
+            # store a centered template geometry + topology; atom 0 is the
+            # graft atom in candidate/assembly graphs (flag_data.py:156,
+            # flag_sample.py), so order the clique by descending free
+            # valence to keep grafts chemically attachable
+            from ..constants.molecule import MAX_VALENCE
+
+            def free_val(a):
+                inside = sum(min(cls, 3)
+                             for (i, j), cls in mol.bonds.items()
+                             if a in (i, j) and i in clique and j in clique)
+                mx = MAX_VALENCE.get(int(mol.atomic_numbers[a]), 4)
+                return mx - inside
+
+            idx = sorted(clique, key=free_val, reverse=True)
             pos = mol.pos[idx] - mol.pos[idx].mean(0)
             remap = {a: k for k, a in enumerate(idx)}
             bonds = {(remap[i], remap[j]): cls
@@ -93,6 +105,7 @@ class MotifVocab:
             self.templates[wid] = {
                 "z": mol.atomic_numbers[idx].copy(), "pos": pos.copy(),
                 "bonds": bonds, "key": key,
+                "graft_free_valence": free_val(idx[0]),
             }
         return self.key_to_id[key]
 

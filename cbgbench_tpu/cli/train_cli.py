@@ -45,6 +45,7 @@ def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
         rng = np.random.default_rng(seed)
         while True:
             buf = []
+            n_yielded = 0
             order = rng.permutation(len(ds))
             for i in order:
                 try:
@@ -58,9 +59,15 @@ def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
                 if len(buf) == batch_size:
                     try:
                         yield stack(buf)
+                        n_yielded += 1
                     except ValueError:
                         pass       # a sample exceeded the shape bucket
                     buf = []
+            if n_yielded == 0:
+                raise RuntimeError(
+                    "no batch survived a full epoch: every sample failed to "
+                    "build or exceeded the shape bucket (lig_cap="
+                    f"{lig_cap}, rec_cap={rec_cap}); use larger caps")
 
     if model_type == "pocket2mol":
         from ..data.p2m import build_p2m_sample, stack_p2m_batch
@@ -110,6 +117,9 @@ def main(argv=None):
     p.add_argument("--max_iters", type=int, default=None)
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--resume", default=None)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of a few post-compile "
+                        "train steps to DIR")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lig_cap", type=int, default=96)
     p.add_argument("--rec_cap", type=int, default=928)
@@ -197,8 +207,18 @@ def main(argv=None):
     val_freq = cfg.get("eval", {}).get("val_freq", 1000)
     t_start = time.time()
     best_val = float("inf")
+    profile_at = (start_it + 3) if args.profile else -1
     for it in range(start_it + 1, max_iters + 1):
+        if it == profile_at:
+            # capture a handful of post-compile steps (view in xprof /
+            # tensorboard; aux subsystem, SURVEY §5 tracing)
+            jax.profiler.start_trace(args.profile)
         state, metrics = step_fn(state, next(loader), rng)
+        if it == profile_at + 4 and profile_at > 0:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            log.info("profiler trace (iters %d-%d) written to %s",
+                     profile_at, it, args.profile)
         if it % report == 0 or it == 1:
             m = {k: float(v) for k, v in metrics.items()}
             rate = report / max(time.time() - t_start, 1e-9)

@@ -78,6 +78,12 @@ def _mds_place(ref_pos: np.ndarray, tmpl_pos: np.ndarray,
         if err < best_err:
             best_err = err
             best = kabsch_apply(c[:nr], ref_pos, c[nr:])
+    # rigid re-fit: the eigen-embedding distorts the template when the
+    # predicted cross distances are non-Euclidean (early training); fit
+    # the exact template geometry onto the embedded estimate so internal
+    # bond lengths/angles are always preserved
+    if len(tmpl_pos) >= 2:
+        best = kabsch_apply(tmpl_pos, best, tmpl_pos)
     return best
 
 
@@ -309,6 +315,14 @@ def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
         cur_wid = st.motif_wid[motif_id]
 
         ml, *_ = predict(focal_atoms, cur_wid)
+        # mask out motifs whose graft atom has no free valence
+        ml = np.array(ml, np.float64)
+        for w in range(vocab_n):
+            t = vocab.templates.get(w)
+            if t is None or t.get("graft_free_valence", 1) <= 0:
+                ml[w] = -np.inf
+        if not np.isfinite(ml[:vocab_n]).any():
+            break
         next_wid = _top5_sample(ml, vocab_n, rng)
         tmpl = vocab.templates.get(next_wid)
         if tmpl is None:
@@ -372,6 +386,55 @@ def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
             new_pos[1:] = _rotate_about_axis(
                 new_pos[1:], st.pos[attach], new_pos[0],
                 float(pred_alpha) - cur)
+
+        # steric guard (the reference relies on UFF relaxation for this,
+        # flag.py:161-170): if any new atom clashes with the context,
+        # scan graft-bond directions x torsions (both bond-preserving,
+        # template stays rigid) and keep the clearest placement.
+        def _clearance(np_):
+            d = np.linalg.norm(np_[:, None] - st.pos[None], axis=-1)
+            d[0, attach] = np.inf          # the graft bond itself
+            return float(d.min())
+
+        def _reorient(np_, new_dir):
+            """Rigidly rotate the motif about the attach atom so the graft
+            bond points along new_dir."""
+            v0 = np_[0] - st.pos[attach]
+            v0 = v0 / max(np.linalg.norm(v0), 1e-8)
+            axis = np.cross(v0, new_dir)
+            s = np.linalg.norm(axis)
+            if s < 1e-8:
+                return np_ if (v0 @ new_dir) > 0 else \
+                    st.pos[attach] - (np_ - st.pos[attach])
+            ang = float(np.arctan2(s, v0 @ new_dir))
+            return _rotate_about_axis(np_, st.pos[attach], st.pos[attach]
+                                      + axis / s, ang)
+
+        if _clearance(new_pos) < 1.0:
+            crowd = st.pos[np.linalg.norm(st.pos - st.pos[attach],
+                                          axis=-1) < 4.0]
+            away = st.pos[attach] - crowd.mean(0)
+            away = away / max(np.linalg.norm(away), 1e-8)
+            dirs = [d0 / n0, away] + [rng.normal(size=3) for _ in range(6)]
+            best_np, best_c = new_pos, _clearance(new_pos)
+            for dv in dirs:
+                dv = np.asarray(dv, np.float64)
+                dv = dv / max(np.linalg.norm(dv), 1e-8)
+                cand0 = _reorient(new_pos, dv)
+                for frac in range(12):
+                    cand_np = cand0.copy()
+                    if nt > 1:
+                        cand_np[1:] = _rotate_about_axis(
+                            cand_np[1:], st.pos[attach], cand_np[0],
+                            2 * np.pi * frac / 12)
+                    c = _clearance(cand_np)
+                    if c > best_c:
+                        best_np, best_c = cand_np, c
+                    if nt == 1:
+                        break
+                if best_c >= 1.2:
+                    break
+            new_pos = best_np
 
         # commit
         base = len(st.atype)
