@@ -10,13 +10,26 @@ PyTorch TargetDiff pipeline on an A100 samples ~100 molecules in ~20 min
 (~0.083 mol/s) per the TargetDiff paper's protocol; that constant is the
 vs_baseline denominator until a measured reference number replaces it.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Self-validation (round-2 hardening — BENCH_r01 recorded a physically
+impossible 17.28 mol/s because `block_until_ready` on the remote platform
+returns before compute finishes):
+  * >=3 timed reps, each ending in an actual device->host VALUE fetch of
+    the result (np.asarray) — data cannot arrive before compute completes.
+  * outputs must be finite and must differ between reps (rng-dependent).
+  * analytic FLOPs/step is printed, and the implied sustained TFLOP/s must
+    not exceed any single chip's bf16 peak — exceeding it exits non-zero.
+
+Prints ONE json line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics go to stderr.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +40,28 @@ BATCH = 16
 LIG_CAP = 64
 REC_CAP = 448
 T = 1000
+N_REP = 3
+CHUNK = 100
+
+# Generous single-chip dense-bf16 ceiling (v6e ~918 TFLOP/s is the largest
+# current chip); sustained throughput above this means the timer lied.
+SINGLE_CHIP_PEAK_TFLOPS = 950.0
+
+
+def _analytic_flops_per_step(n_layers=9, d=128, n=LIG_CAP + REC_CAP,
+                             k=32, b=BATCH, ff=None):
+    """Dominant matmul FLOPs of one denoise step (lower bound, documented
+    so the sanity gate is auditable).
+
+    Per layer: 2 one-hot neighbor gathers ([B,N,K,N]@[N,D] each) plus the
+    edge/key/value/message MLPs over [B,N,K] edges (~3 matmuls of D x D
+    each side) plus node MLPs. Elementwise work is ignored (the gate only
+    needs a lower bound).
+    """
+    gather = 2 * (2.0 * b * n * k * n * d)              # one-hot matmuls
+    edge_mlp = 6 * (2.0 * b * n * k * d * d)            # edge-path matmuls
+    node_mlp = 4 * (2.0 * b * n * d * d)                # node-path matmuls
+    return n_layers * (gather + edge_mlp + node_mlp)
 
 
 def main():
@@ -42,21 +77,71 @@ def main():
     t0 = jnp.zeros((BATCH,), jnp.int32)
     params = jax.jit(model.init)(rng, batch, t0, rng)
 
+    # FLOPs per step: prefer the compiler's own count, fall back to the
+    # analytic formula above.
+    flops_step = None
+    try:
+        from cbgbench_tpu.models.targetdiff import _sample_chunk
+        c_in = jax.nn.one_hot(batch.ligand.atype, model.num_classes)
+        lowered = _sample_chunk.lower(
+            model, params, batch, (batch.ligand.pos, c_in, rng),
+            jnp.asarray(T - 1, jnp.int32), CHUNK)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost and cost.get("flops"):
+            flops_step = float(cost["flops"]) / CHUNK
+            print(f"# flops/step (XLA cost model): {flops_step/1e12:.3f} "
+                  "TFLOP", file=sys.stderr)
+    except Exception as e:  # remote-compile platforms may not expose this
+        print(f"# cost_analysis unavailable ({type(e).__name__}); using "
+              "analytic formula", file=sys.stderr)
+    if not flops_step or not np.isfinite(flops_step):
+        flops_step = _analytic_flops_per_step()
+        print(f"# flops/step (analytic lower bound): {flops_step/1e12:.3f} "
+              "TFLOP", file=sys.stderr)
+
     # compile + warmup (sample_targetdiff hosts its own chunked dispatch —
     # the platform enforces a per-execution wall-clock budget, so the T-step
     # scan runs as jitted chunks)
-    out = sample_targetdiff(model, params, batch, rng)
-    out["pos"].block_until_ready()
+    warm = sample_targetdiff(model, params, batch, rng, chunk_size=CHUNK)
+    warm_pos = np.asarray(warm["pos"])  # value fetch = true barrier
+    assert np.isfinite(warm_pos).all(), "warmup produced non-finite pos"
 
-    # timed run
-    n_rep = 1
+    # timed reps: each rep uses a different rng and ends in a value fetch
+    rep_pos = []
     start = time.perf_counter()
-    for i in range(n_rep):
-        out = sample_targetdiff(model, params, batch, jax.random.fold_in(rng, i))
-    out["pos"].block_until_ready()
-    dt = (time.perf_counter() - start) / n_rep
+    for i in range(N_REP):
+        out = sample_targetdiff(model, params, batch,
+                                jax.random.fold_in(rng, i + 1),
+                                chunk_size=CHUNK)
+        rep_pos.append(np.asarray(out["pos"]))
+    dt = (time.perf_counter() - start) / N_REP
 
+    # -- validation ---------------------------------------------------
+    for i, p in enumerate(rep_pos):
+        assert np.isfinite(p).all(), f"rep {i}: non-finite positions"
+    for i in range(1, N_REP):
+        diff = float(np.abs(rep_pos[i] - rep_pos[0]).max())
+        assert diff > 1e-6, (
+            f"rep {i} identical to rep 0 (max|diff|={diff}); outputs do "
+            "not depend on the rng — the benchmark is not running real "
+            "sampling")
+
+    steps_per_sec = T / dt
+    implied_tflops = flops_step * steps_per_sec / 1e12
     mols_per_sec = BATCH / dt
+    print(f"# {N_REP} reps, {dt:.3f} s/rep, {steps_per_sec:.1f} denoise "
+          f"steps/s, implied {implied_tflops:.1f} TFLOP/s sustained",
+          file=sys.stderr)
+
+    if implied_tflops > SINGLE_CHIP_PEAK_TFLOPS:
+        print(f"FATAL: implied {implied_tflops:.0f} TFLOP/s exceeds any "
+              f"single chip's bf16 peak ({SINGLE_CHIP_PEAK_TFLOPS:.0f}); "
+              "the timed region is not synchronizing with device compute.",
+              file=sys.stderr)
+        raise SystemExit(2)
+
     print(json.dumps({
         "metric": "denovo_sampling_throughput",
         "value": round(mols_per_sec, 4),

@@ -44,6 +44,17 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh):
     """Place a PocketLigandBatch with its leading batch dim split over the
     data axis. B must be divisible by the data-axis size."""
+    n_data = mesh.shape[DATA_AXIS]
+    leaves = jax.tree.leaves(batch)
+    if leaves:
+        b = leaves[0].shape[0]
+        for x in leaves:
+            if x.ndim == 0 or x.shape[0] % n_data != 0:
+                raise ValueError(
+                    f"batch leading dim {x.shape[0] if x.ndim else None} "
+                    f"not divisible by data-axis size {n_data}; pad the "
+                    f"batch to a multiple of the mesh (leaf shape "
+                    f"{x.shape}, batch size {b})")
     sharding = data_parallel_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 

@@ -1,0 +1,115 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh.
+
+SURVEY §2.7 / §4(5): the reference has no distributed layer; the rebuild's
+dp design must be validated on fake devices. conftest.py provisions 8
+virtual CPU devices; these tests actually use them.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cbgbench_tpu.data.batch import synthetic_batch
+from cbgbench_tpu.models.targetdiff import TargetDiff
+from cbgbench_tpu.parallel import make_mesh, shard_batch
+from cbgbench_tpu.parallel.mesh import (
+    DATA_AXIS, data_parallel_sharding, replicate, shard_params)
+from cbgbench_tpu.train import TrainState, get_optimizer, make_train_step
+
+
+def _model_and_batch(batch_size):
+    model = TargetDiff(num_classes=13, num_timesteps=100, emb_dim=32,
+                       num_layers=2, n_heads=4, k=8)
+    batch = synthetic_batch(0, batch_size=batch_size, n_lig=8, n_rec=24,
+                            num_atom_types=13, lig_cap=16, rec_cap=32)
+    return model, batch
+
+
+def _run_one_step(model, batch, mesh=None):
+    rng = jax.random.PRNGKey(0)
+    t = jnp.zeros((batch.ligand.pos.shape[0],), jnp.int32)
+    params = jax.jit(model.init)(rng, batch, t, rng)
+    tx = get_optimizer({"type": "adam", "lr": 1e-4}, max_grad_norm=8.0)
+    state = TrainState.create(params, tx)
+    if mesh is not None:
+        batch = shard_batch(batch, mesh)
+        state = jax.tree.map(
+            lambda x: jax.device_put(x, replicate(mesh)), state)
+    step = make_train_step(model, tx, donate=False)
+    state, metrics = step(state, batch, rng)
+    return state, {k: float(v) for k, v in metrics.items()}
+
+
+def test_sharded_step_matches_single_device():
+    """The dp-sharded train step must produce the same loss/grad-norm (and
+    updated params) as the unsharded one — XLA's psum over the data axis is
+    numerically the same mean as the single-device batch reduction."""
+    model, batch = _model_and_batch(batch_size=8)
+    mesh = make_mesh(jax.devices()[:8])
+
+    state_1, m_1 = _run_one_step(model, batch)
+    state_8, m_8 = _run_one_step(model, batch, mesh=mesh)
+
+    assert np.isfinite(m_1["loss"])
+    np.testing.assert_allclose(m_8["loss"], m_1["loss"], rtol=1e-5)
+    np.testing.assert_allclose(m_8["grad_norm"], m_1["grad_norm"], rtol=1e-4)
+    # updated params agree leaf-by-leaf
+    flat_1 = jax.tree.leaves(state_1.params)
+    flat_8 = jax.tree.leaves(state_8.params)
+    # Adam normalizes by sqrt(v), so elements whose grads are at float-eps
+    # noise get updates that differ in direction between reduction orders;
+    # compare with an absolute tolerance well under the lr=1e-4 update scale.
+    for a, b in zip(flat_1, flat_8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-5)
+
+
+def test_batch_and_params_shardings_committed():
+    mesh = make_mesh(jax.devices()[:8])
+    _, batch = _model_and_batch(batch_size=8)
+    sharded = shard_batch(batch, mesh)
+    want_batch = data_parallel_sharding(mesh)
+    for leaf in jax.tree.leaves(sharded):
+        assert leaf.sharding.is_equivalent_to(want_batch, leaf.ndim), (
+            leaf.shape, leaf.sharding)
+        # each device holds exactly B/8 of the leading dim
+        shard_shapes = {s.data.shape for s in leaf.addressable_shards}
+        assert all(s[0] == leaf.shape[0] // 8 for s in shard_shapes)
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    rep = shard_params(params, mesh)
+    for leaf in jax.tree.leaves(rep):
+        assert leaf.sharding.is_equivalent_to(
+            NamedSharding(mesh, P()), leaf.ndim)
+        assert len(leaf.addressable_shards) == 8  # replicated on all
+
+
+def test_uneven_batch_raises():
+    mesh = make_mesh(jax.devices()[:8])
+    _, batch = _model_and_batch(batch_size=6)  # 6 % 8 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch(batch, mesh)
+
+
+def test_two_device_mesh():
+    """Smaller mesh (2 of 8 devices) also works and matches."""
+    model, batch = _model_and_batch(batch_size=4)
+    mesh = make_mesh(jax.devices()[:2])
+    _, m_1 = _run_one_step(model, batch)
+    _, m_2 = _run_one_step(model, batch, mesh=mesh)
+    np.testing.assert_allclose(m_2["loss"], m_1["loss"], rtol=1e-5)
+
+
+def test_dryrun_multichip_inline():
+    """The graft entry's dryrun runs inline when devices are already
+    provisioned (conftest gives us 8)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "__graft_entry__.py")
+    spec = importlib.util.spec_from_file_location("_graft_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)  # raises on failure
