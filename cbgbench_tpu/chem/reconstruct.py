@@ -18,24 +18,27 @@ from ..constants.molecule import (get_atomic_number_from_index,
 from .bonds import perceive_bonds
 from .mol import Molecule
 
-try:  # optional exact path
-    from rdkit import Chem  # noqa: F401
-    HAS_RDKIT = True
-except Exception:  # pragma: no cover - depends on environment
-    HAS_RDKIT = False
+from .rdkit_bridge import HAS_RDKIT
 
 
 def reconstruct_molecule(pos: np.ndarray, atom_index: np.ndarray,
-                         mode: str = "add_aromatic") -> Molecule:
+                         mode: str = "add_aromatic",
+                         refine: bool = True) -> Molecule:
     """Generated (positions, class indices) -> bonded Molecule.
 
     ``atom_index`` are featurizer-mode class indices; mode determines the
-    element / aromatic decoding (reference: sample.py:208-226)."""
+    element / aromatic decoding (reference: sample.py:208-226). When RDKit
+    is importable the result is refined through the reference's
+    post-processing (rdkit_bridge.refine_molecule)."""
     atom_index = np.asarray(atom_index).reshape(-1)
     z = np.array(get_atomic_number_from_index(atom_index, mode))
     arom = is_aromatic_from_index(atom_index, mode)
     arom = np.asarray(arom, bool) if arom is not None else None
-    return perceive_bonds(z, np.asarray(pos, float)[:len(z)], aromatic=arom)
+    mol = perceive_bonds(z, np.asarray(pos, float)[:len(z)], aromatic=arom)
+    if refine and HAS_RDKIT:
+        from .rdkit_bridge import refine_molecule
+        mol = refine_molecule(mol)
+    return mol
 
 
 def largest_fragment(mol: Molecule) -> Molecule:
@@ -52,9 +55,14 @@ def evaluate_validity(mol: Molecule, min_atoms: int = 8,
     """Validity rule mirroring the reference filter
     (rdkit_utils.py:615-641): take the largest fragment; it must hold at
     least ``frag_threshold`` of the atoms OR ``min_atoms`` atoms, and pass
-    valence sanity. Returns (molecule-or-None, is_valid)."""
+    valence sanity. Returns (molecule-or-None, is_valid). With RDKit the
+    reference's exact rule runs instead (rdkit_bridge.rdkit_validity)."""
     if mol.num_atoms == 0:
         return None, False
+    if HAS_RDKIT:
+        from .rdkit_bridge import rdkit_validity
+        return rdkit_validity(mol, min_atoms=min_atoms,
+                              frag_threshold=frag_threshold)
     frag = largest_fragment(mol) if keep_largest else mol
     size_ok = (frag.num_atoms >= min_atoms
                or frag.num_atoms >= frag_threshold * mol.num_atoms)

@@ -2,12 +2,15 @@
 
 Replaces the reference's evaluate_scripts shell fan-out
 (reference: evaluate_scripts/evaluate.sh + *_folder.py + cal_*_results.py):
-chem (QED/SA/LogP/Lipinski/validity [+Vina when available]), geometry
-(bond length/angle JSD, stability, clash), substructure (atom/ring
-JSD+MAE), interactions (PLIP when available, geometric fallback).
+chem (QED/SA/LogP/Lipinski/validity + Vina score_only/minimize/dock when
+the toolchain is present), geometry (bond length/angle JSD, stability,
+clash), substructure (atom/ring/FG JSD+MAE, atom-count JSD), interactions
+(PLIP when available, 7-type geometric fallback otherwise) aggregated as
+per-pocket JSD/MAE against the reference ligand's profile
+(reference: evaluate_scripts/cal_intera_results.py:26-67).
 
 Usage: python -m cbgbench_tpu.cli.evaluate_cli --result_root results \
-            [--num_samples 200] [--protein_root assets/examples]
+            [--num_samples 200] [--protein_root assets/examples] [--vina]
 """
 
 from __future__ import annotations
@@ -21,17 +24,48 @@ from collections import defaultdict
 import numpy as np
 
 
+def _interaction_dist(counts: dict, types) -> np.ndarray:
+    v = np.array([counts.get(t, 0) for t in types], float)
+    return v
+
+
+def _vina_all_modes(mol, protein_pdb, center):
+    """score_only/minimize/dock for one molecule; None-filled on failure."""
+    from ..tools.docking import VinaDockingTask
+    out = {"score_only": None, "minimize": None, "dock": None}
+    try:
+        task = VinaDockingTask(mol, protein_pdb, center=center)
+        if not task.ready:
+            return out
+        for mode in out:
+            try:
+                res = task.run(mode)
+                out[mode] = getattr(res, mode)
+            except Exception:
+                pass
+    except Exception:
+        pass
+    return out
+
+
 def evaluate_folder(result_root: str, num_samples: int = 200,
-                    protein_lookup=None) -> dict:
+                    protein_lookup=None, run_vina: bool = False) -> dict:
     from ..chem.sdf import read_sdf
     from ..tools.geometry import (analyze_stability, eval_bond_angle_jsd,
                                   eval_bond_length_jsd, eval_pair_length_jsd,
                                   eval_steric_clash)
-    from ..tools.interaction import analyze_interactions
+    from ..tools.interaction import INTERACTION_TYPES, analyze_interactions
     from ..tools.scoring import get_chem
-    from ..tools.substructure import (eval_atom_type, eval_fg_type,
-                                      eval_ring_type)
+    from ..tools.substructure import (eval_atom_num, eval_atom_type,
+                                      eval_fg_type, eval_ring_type)
     from ..chem.pdb import parse_pdb_pocket
+
+    if run_vina:
+        from ..tools.docking import available
+        caps = available()
+        vina_ready = caps["vina_python"] and caps["meeko"]
+    else:
+        vina_ready = False
 
     pocket_dirs = sorted(d for d in glob.glob(os.path.join(result_root, "*"))
                          if os.path.isdir(d))
@@ -39,16 +73,47 @@ def evaluate_folder(result_root: str, num_samples: int = 200,
     chem_rows = []
     clash_rows = []
     inter_counts = defaultdict(list)
+    inter_jsds, inter_maes = [], []
+    inter_gen_total = np.zeros(len(INTERACTION_TYPES))
+    inter_ref_total = np.zeros(len(INTERACTION_TYPES))
+    n_inter_gen = n_inter_pockets = 0
+    vina_rows = defaultdict(list)      # mode -> per-mol affinities
+    vina_imp = defaultdict(list)       # mode -> (gen - ref)/ref
+    vina_delta = defaultdict(list)     # mode -> gen < ref indicator
+    vina_ligeff = []
     n_total_slots = 0
     for pd in pocket_dirs:
         sdfs = sorted(glob.glob(os.path.join(pd, "*.sdf")))
         n_total_slots += num_samples
-        protein_pdb = None
+        protein_pdb = ref_sdf = None
         if protein_lookup is not None:
-            protein_pdb = protein_lookup(os.path.basename(pd))
+            looked = protein_lookup(os.path.basename(pd))
+            if isinstance(looked, tuple):
+                protein_pdb, ref_sdf = looked
+            else:
+                protein_pdb = looked
         p_atoms = None
         if protein_pdb and os.path.exists(protein_pdb):
             p_atoms, _ = parse_pdb_pocket(protein_pdb)
+        ref_mol = None
+        if ref_sdf and os.path.exists(ref_sdf):
+            refs = read_sdf(ref_sdf)
+            ref_mol = refs[0] if refs else None
+        ref_inter = None
+        ref_vina = {}
+        if ref_mol is not None and p_atoms is not None:
+            try:
+                ref_inter = analyze_interactions(
+                    ref_mol, protein_pdb=protein_pdb, protein_pos=p_atoms.pos,
+                    protein_elements=p_atoms.element, atoms=p_atoms)
+            except Exception:
+                ref_inter = None
+            if vina_ready:
+                ref_vina = _vina_all_modes(ref_mol, protein_pdb,
+                                           ref_mol.pos.mean(0).tolist())
+
+        pocket_gen_counts = np.zeros(len(INTERACTION_TYPES))
+        pocket_n = 0
         for f in sdfs:
             mols = read_sdf(f)
             if not mols:
@@ -59,6 +124,21 @@ def evaluate_folder(result_root: str, num_samples: int = 200,
                 chem_rows.append(get_chem(mol))
             except Exception:
                 pass
+            if vina_ready and protein_pdb:
+                vr = _vina_all_modes(mol, protein_pdb,
+                                     mol.pos.mean(0).tolist())
+                for mode, aff in vr.items():
+                    if aff is None:
+                        continue
+                    vina_rows[mode].append(aff)
+                    raff = ref_vina.get(mode)
+                    # improvement only defined for negative reference
+                    # affinities (reference: cal_chem_results.py:55-60)
+                    if raff is not None and raff < 0:
+                        vina_imp[mode].append((aff - raff) / raff)
+                        vina_delta[mode].append(float(aff < raff))
+                    if mode == "dock":
+                        vina_ligeff.append(aff / max(mol.num_atoms, 1))
             if p_atoms is not None:
                 try:
                     clash, info = eval_steric_clash(mol, p_atoms.pos,
@@ -66,11 +146,31 @@ def evaluate_folder(result_root: str, num_samples: int = 200,
                     clash_rows.append(info)
                     ic = analyze_interactions(mol, protein_pdb=protein_pdb,
                                               protein_pos=p_atoms.pos,
-                                              protein_elements=p_atoms.element)
+                                              protein_elements=p_atoms.element,
+                                              atoms=p_atoms)
                     for k, v in ic.items():
                         inter_counts[k].append(v)
+                    pocket_gen_counts += _interaction_dist(ic,
+                                                           INTERACTION_TYPES)
+                    pocket_n += 1
                 except Exception:
                     pass
+        # per-pocket interaction JSD/MAE vs the reference ligand
+        # (reference: cal_intera_results.py:26-47)
+        if ref_inter is not None and pocket_n > 0:
+            from scipy.spatial.distance import jensenshannon
+            ref_vec = _interaction_dist(ref_inter, INTERACTION_TYPES)
+            gen_dist = pocket_gen_counts / max(pocket_gen_counts.sum(), 1e-12)
+            ref_dist = ref_vec / max(ref_vec.sum(), 1e-12)
+            jsd = float(jensenshannon(ref_dist, gen_dist))
+            if np.isfinite(jsd):
+                inter_jsds.append(jsd)
+                inter_maes.append(float(np.abs(
+                    ref_vec - pocket_gen_counts / pocket_n).mean()))
+                inter_gen_total += pocket_gen_counts
+                inter_ref_total += ref_vec
+                n_inter_gen += pocket_n
+                n_inter_pockets += 1
 
     report = {"n_molecules": len(all_mols),
               "validity": len(all_mols) / max(n_total_slots, 1)}
@@ -89,6 +189,7 @@ def evaluate_folder(result_root: str, num_samples: int = 200,
         report.update(eval_atom_type(all_mols))
         report.update(eval_ring_type(all_mols))
         report.update(eval_fg_type(all_mols))
+        report.update(eval_atom_num(all_mols))
     if clash_rows:
         report["clash_ratio"] = float(np.mean(
             [r["lig_pro_clash_detected"] for r in clash_rows]))
@@ -98,7 +199,47 @@ def evaluate_folder(result_root: str, num_samples: int = 200,
     if inter_counts:
         for k, v in inter_counts.items():
             report[f"interaction_{k}_mean"] = float(np.mean(v))
+    if inter_jsds:
+        from scipy.spatial.distance import jensenshannon
+        report["interaction_jsd"] = float(np.mean(inter_jsds))
+        report["interaction_mae"] = float(np.mean(inter_maes))
+        # overall (pooled) JSD/MAE (reference: cal_intera_results.py:52-67)
+        gd = inter_gen_total / max(inter_gen_total.sum(), 1e-12)
+        rd = inter_ref_total / max(inter_ref_total.sum(), 1e-12)
+        report["interaction_overall_jsd"] = float(jensenshannon(rd, gd))
+        report["interaction_overall_mae"] = float(np.abs(
+            inter_ref_total / max(n_inter_pockets, 1)
+            - inter_gen_total / max(n_inter_gen, 1)).mean())
+    # Vina block is always present so consumers can rely on the keys;
+    # values are null when the toolchain or runs are unavailable
+    for mode in ("score_only", "minimize", "dock"):
+        vals = vina_rows.get(mode, [])
+        report[f"vina_{mode}_mean"] = float(np.mean(vals)) if vals else None
+        imps = vina_imp.get(mode, [])
+        report[f"vina_{mode}_improvement_pct"] = (
+            float(np.mean(imps) * 100) if imps else None)
+        deltas = vina_delta.get(mode, [])
+        report[f"vina_{mode}_delta_binding_pct"] = (
+            float(np.mean(deltas) * 100) if deltas else None)
+    report["vina_lig_efficiency_mean"] = (
+        float(np.mean(vina_ligeff)) if vina_ligeff else None)
+    report["vina_available"] = bool(vina_ready)
     return report
+
+
+def build_protein_lookup(protein_root: str):
+    """pocket-dirname -> (protein pdb, reference ligand sdf)."""
+    from ..data.dataset import scan_pair_dir
+    pairs = scan_pair_dir(protein_root)
+
+    def protein_lookup(pocket_dirname: str):
+        for pdb, sdf in pairs:
+            stem = os.path.splitext(os.path.basename(sdf))[0]
+            if stem in pocket_dirname:
+                return pdb, sdf
+        return None
+
+    return protein_lookup
 
 
 def main(argv=None):
@@ -107,24 +248,17 @@ def main(argv=None):
     p.add_argument("--num_samples", type=int, default=200)
     p.add_argument("--protein_root", default=None,
                    help="directory with the source complexes for clash/"
-                        "interaction metrics")
+                        "interaction/Vina metrics")
+    p.add_argument("--vina", action="store_true",
+                   help="run Vina score_only/minimize/dock when the "
+                        "toolchain (vina+meeko+obabel) is installed")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
-    protein_lookup = None
-    if args.protein_root:
-        from ..data.dataset import scan_pair_dir
-        pairs = scan_pair_dir(args.protein_root)
-
-        def protein_lookup(pocket_dirname: str):
-            for pdb, sdf in pairs:
-                stem = os.path.splitext(os.path.basename(sdf))[0]
-                if stem in pocket_dirname:
-                    return pdb
-            return None
-
+    protein_lookup = (build_protein_lookup(args.protein_root)
+                      if args.protein_root else None)
     report = evaluate_folder(args.result_root, args.num_samples,
-                             protein_lookup)
+                             protein_lookup, run_vina=args.vina)
     out = args.out or os.path.join(args.result_root, "metrics.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1, default=float)

@@ -139,7 +139,10 @@ def fg_counts(mols: Sequence[Molecule]) -> collections.Counter:
             fgs = decompose_fg(m)
         except Exception:
             continue
-        counter.update(f["key"] for f in fgs if f["key"] in CROSSDOCKED_FG_FREQ)
+        # strip chirality-split suffixes (NS(=O)=O_1 -> NS(=O)=O)
+        keys = (f["key"].rsplit("_", 1)[0] if f["key"].endswith(("_1", "_2"))
+                else f["key"] for f in fgs)
+        counter.update(k for k in keys if k in CROSSDOCKED_FG_FREQ)
     return counter
 
 
@@ -153,3 +156,43 @@ def eval_fg_type(mols) -> Dict[str, float]:
                for k in CROSSDOCKED_FG_RATIO}
     return {"fg_type_jsd": _jsd_over_ref_keys(dist, CROSSDOCKED_FG_FREQ),
             "fg_type_mae": _ratio_mae(per_mol, CROSSDOCKED_FG_RATIO)}
+
+
+# ---------------------------------------------------------------------------
+# atom-count distribution (reference: tools/eval_atom_num.py + the
+# pocket-size-conditioned prior in datasets/transforms/_atom_num_dist.npy)
+# ---------------------------------------------------------------------------
+
+_MAX_ATOM_NUM = 64
+
+
+def reference_atom_num_distribution() -> np.ndarray:
+    """CrossDocked per-molecule atom-count distribution, marginalized over
+    the pocket-size bins of the bundled prior (equal bin weights — the
+    pocket-size marginal is not recorded in the reference)."""
+    from ..data.transforms import _load_prior
+    prior = _load_prior("_atom_num_dist.npy")
+    marginal = np.zeros(_MAX_ATOM_NUM + 1)
+    for nums, probs in prior["bins"]:
+        for n, p in zip(nums, probs):
+            if 0 <= int(n) <= _MAX_ATOM_NUM:
+                marginal[int(n)] += float(p)
+    return marginal / max(marginal.sum(), 1e-12)
+
+
+def eval_atom_num(mols) -> Dict[str, float]:
+    """JSD + MAE of the generated atom-count histogram vs the CrossDocked
+    reference (reference protocol: tools/eval_atom_num.py bins)."""
+    ref = reference_atom_num_distribution()
+    hist = np.zeros_like(ref)
+    sizes = []
+    for m in mols:
+        n = min(m.num_atoms, _MAX_ATOM_NUM)
+        hist[n] += 1
+        sizes.append(m.num_atoms)
+    hist = hist / max(hist.sum(), 1e-12)
+    ref_mean = float((np.arange(len(ref)) * ref).sum())
+    return {"atom_num_jsd": float(jensenshannon(ref, hist)),
+            "atom_num_mean": float(np.mean(sizes)) if sizes else 0.0,
+            "atom_num_mae": abs(float(np.mean(sizes)) - ref_mean)
+            if sizes else ref_mean}

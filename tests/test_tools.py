@@ -113,3 +113,138 @@ def test_evaluate_folder_end_to_end(tmp_path):
     assert report["validity"] == 1.0
     assert "qed_mean" in report and "JSD_BL_mean" in report
     assert "clash_ratio" in report
+
+
+def test_eval_atom_num():
+    from cbgbench_tpu.tools.substructure import (
+        eval_atom_num, reference_atom_num_distribution)
+    ref = reference_atom_num_distribution()
+    assert abs(ref.sum() - 1.0) < 1e-9
+    metrics = eval_atom_num(MOLS)
+    assert 0 <= metrics["atom_num_jsd"] <= 1
+    assert metrics["atom_num_mean"] > 0
+    # degenerate single-size set should diverge more than the real ligands
+    from cbgbench_tpu.chem.mol import Molecule
+    tiny = [Molecule(np.array([6, 6]), np.zeros((2, 3)))] * 10
+    assert eval_atom_num(tiny)["atom_num_jsd"] > metrics["atom_num_jsd"]
+
+
+def test_pistack_pication_fallback():
+    """Synthetic stacked benzene over a PHE ring + ARG cation."""
+    from cbgbench_tpu.chem.mol import Molecule
+    from cbgbench_tpu.chem.pdb import PocketAtoms
+    from cbgbench_tpu.constants.protein import AA
+    from cbgbench_tpu.tools.interaction import geometric_interactions
+
+    ang = np.linspace(0, 2 * np.pi, 7)[:6]
+    hexagon = np.stack([1.4 * np.cos(ang), 1.4 * np.sin(ang),
+                        np.zeros(6)], -1)
+    lig = Molecule(np.full(6, 6), hexagon + np.array([0, 0, 3.6]),
+                   aromatic=np.ones(6, bool))
+    for i in range(6):
+        lig.add_bond(i, (i + 1) % 6, 4)
+
+    names = ["CG", "CD1", "CD2", "CE1", "CE2", "CZ", "CZ"]
+    pos = np.concatenate([hexagon, [[4.0, 0.0, 2.0]]])  # PHE ring + ARG CZ
+    atoms = PocketAtoms(
+        element=np.full(7, 6), element_index=np.ones(7, int), pos=pos,
+        is_backbone=np.zeros(7, bool),
+        atom_to_aa_type=np.array([int(AA.PHE)] * 6 + [int(AA.ARG)]),
+        atom_name=names, res_id=np.array([0] * 6 + [1]))
+    counts = geometric_interactions(lig, pos, atoms.element, atoms=atoms)
+    assert counts["pistack"] >= 1
+    assert counts["pication"] >= 1
+
+
+def test_water_bridge_and_metal_scan(tmp_path):
+    from cbgbench_tpu.chem.mol import Molecule
+    from cbgbench_tpu.tools.interaction import geometric_interactions
+    pdb = tmp_path / "rec.pdb"
+    pdb.write_text(
+        "ATOM      1  N   ALA A   1       0.000   0.000   0.000  1.00  0.00"
+        "           N\n"
+        "HETATM    2  O   HOH A 100       2.000   0.000   0.000  1.00  0.00"
+        "           O\n"
+        "HETATM    3 ZN    ZN A 101       0.000   3.000   0.000  1.00  0.00"
+        "          ZN\n")
+    lig = Molecule(np.array([8, 7]),
+                   np.array([[4.0, 0.0, 0.0], [0.0, 4.5, 0.0]]))
+    counts = geometric_interactions(
+        lig, np.array([[0.0, 0.0, 0.0]]), np.array([7]),
+        protein_pdb=str(pdb))
+    assert counts["waterbridge"] >= 1   # water O bridges lig O and rec N
+    assert counts["metal"] >= 1         # Zn 1.5 A from lig N
+
+
+def test_evaluate_folder_interaction_jsd_and_vina_keys(tmp_path):
+    from cbgbench_tpu.chem.sdf import write_sdf
+    from cbgbench_tpu.cli.evaluate_cli import evaluate_folder
+    d = tmp_path / "p0"
+    d.mkdir()
+    for i, m in enumerate(MOLS[:3]):
+        write_sdf(str(d / f"{i}.sdf"), m)
+
+    def lookup(name):
+        return (LIGANDS[0].replace("_ligand.sdf", "_protein.pdb"),
+                LIGANDS[0])
+
+    report = evaluate_folder(str(tmp_path), num_samples=3,
+                             protein_lookup=lookup, run_vina=True)
+    assert "interaction_jsd" in report and "interaction_overall_jsd" in report
+    assert 0 <= report["interaction_jsd"] <= 1
+    assert "atom_num_jsd" in report
+    # vina keys always present, null-gated in this image (no vina binary)
+    assert "vina_dock_mean" in report
+    assert report["vina_available"] in (False, True)
+
+
+def test_bond_reconciliation_fixture_ligands():
+    """perceive_bonds connectivity vs SDF ground-truth bond blocks
+    (addresses reconstruction-fidelity evidence beyond anecdote)."""
+    from cbgbench_tpu.chem.bonds import perceive_bonds
+    from cbgbench_tpu.chem.rdkit_bridge import bond_reconciliation
+    recalls, precisions = [], []
+    for m in MOLS:
+        pred = perceive_bonds(m.atomic_numbers, m.pos)
+        r = bond_reconciliation(pred, m)
+        recalls.append(r["recall"])
+        precisions.append(r["precision"])
+    assert np.mean(recalls) > 0.95, recalls
+    assert np.mean(precisions) > 0.9, precisions
+
+
+def test_sc_score_identity_and_disjoint():
+    from cbgbench_tpu.tools.sc_score import (calc_sc_score,
+                                             shape_protrude_dist)
+    mol = MOLS[0]
+    # identical molecule: near-perfect shape + feature score
+    s_self = calc_sc_score(mol, mol)
+    assert s_self > 0.8, s_self
+    assert shape_protrude_dist(mol, mol) < 0.2
+    # far-translated copy: low score
+    far = mol.extract(list(range(mol.num_atoms)))
+    far.pos = far.pos + 50.0
+    s_far = calc_sc_score(far, mol)
+    assert s_far < 0.3, s_far
+    assert s_far < s_self
+
+
+def test_atom_map_3d_and_anchors():
+    from cbgbench_tpu.tools.sc_score import (find_anchor_indices_3d,
+                                             get_atom_map_3d,
+                                             transfer_coords)
+    mol = MOLS[0]
+    # fragment = first half of the molecule's atoms, exact coordinates
+    keep = list(range(mol.num_atoms // 2))
+    frag = mol.extract(keep)
+    mapping = get_atom_map_3d(mol, frag)
+    assert len(mapping) == len(keep)
+    assert all(keep[f] == m for f, m in mapping)
+    anchors = find_anchor_indices_3d(mol, frag)
+    # the cut must create at least one attachment point
+    assert len(anchors["frag"]) >= 1 and len(anchors["mol"]) >= 1
+    # coordinate transfer is a fixed point on exact matches
+    moved = frag.extract(list(range(frag.num_atoms)))
+    moved.pos = moved.pos + np.array([0.001, 0, 0])  # within epsilon? no
+    back = transfer_coords(frag, mol)
+    assert np.allclose(back.pos, frag.pos)
