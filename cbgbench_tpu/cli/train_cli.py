@@ -76,10 +76,14 @@ def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
             lambda b_: stack_p2m_batch(b_, lig_cap=min(lig_cap, 64),
                                        rec_cap=rec_cap))
     if model_type == "graphbp":
+        from ..constants.molecule import NUM_ATOM_TYPES_BY_MODE
         from ..data.graphbp_seq import (build_graphbp_sample,
                                         stack_graphbp_batch)
+        # the vocab offset for protein nodes MUST match the model's
+        # num_classes (mode-derived) or embedding lookups go out of range
+        n_types = NUM_ATOM_TYPES_BY_MODE[ds.mode]
         return generic(
-            lambda s_, r: build_graphbp_sample(s_, r),
+            lambda s_, r: build_graphbp_sample(s_, r, num_atom_types=n_types),
             lambda b_: stack_graphbp_batch(b_, cap=lig_cap + rec_cap))
     if model_type == "flag":
         from ..data.flag_data import build_flag_sample, stack_flag_batch
@@ -103,8 +107,9 @@ def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
 _SUPPORTED_TRANSFORMS = {
     "center_pos", "center_whole_pos", "add_pos_noise", "remove_ligand",
     "assign_molsize", "assign_atomtype", "assign_molpos", "assign_linkernum",
-    "random_mask", "bfs_mask", "mixed_mask", "select_linker", "select_frag",
-    "select_scaffold", "select_sidechain", "keep_ctx_only",
+    "assign_fgnum", "random_mask", "bfs_mask", "mixed_mask", "select_linker",
+    "select_frag", "select_scaffold", "select_sidechain", "keep_ctx_only",
+    "load_ctx", "merge_ctx_gen",
     "featurize_protein_fa", "featurize_ligand_fa", "featurize_ligand_ar",
 }
 
@@ -123,6 +128,11 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lig_cap", type=int, default=96)
     p.add_argument("--rec_cap", type=int, default=928)
+    p.add_argument("--mesh", type=int, default=1, metavar="N",
+                   help="data-parallel mesh size: shard the batch over N "
+                        "devices (params replicated, grads psum over ICI); "
+                        "batch_size must be divisible by N")
+    p.add_argument("--no_tensorboard", action="store_true")
     args = p.parse_args(argv)
 
     if args.device == "cpu":
@@ -183,6 +193,28 @@ def main(argv=None):
     opt_cfg = cfg["train"]["optimizer"]
     tx = get_optimizer(opt_cfg, max_grad_norm=train_cfg.get("max_grad_norm"))
     state = TrainState.create(params, tx)
+
+    mesh = None
+    if args.mesh > 1:
+        from ..parallel.mesh import make_mesh, replicate, shard_batch
+        if len(jax.devices()) < args.mesh:
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {args.mesh} devices but only "
+                f"{len(jax.devices())} are visible (for CPU testing set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{args.mesh} JAX_PLATFORMS=cpu)")
+        if train_cfg["batch_size"] % args.mesh != 0:
+            raise SystemExit(f"batch_size {train_cfg['batch_size']} not "
+                             f"divisible by --mesh {args.mesh}")
+        mesh = make_mesh(jax.devices()[:args.mesh], data=args.mesh)
+        state = jax.device_put(state, replicate(mesh))
+        log.info("data-parallel mesh: %s", dict(mesh.shape))
+
+        def _shard(b):
+            return shard_batch(b, mesh)
+    else:
+        def _shard(b):
+            return b
     plateau = PlateauController(
         opt_cfg.get("lr", 5e-4),
         factor=train_cfg.get("scheduler", {}).get("factor", 0.6),
@@ -199,8 +231,10 @@ def main(argv=None):
     step_fn = make_train_step(model, tx)
     eval_fn = make_eval_step(model, cfg.get("eval", {}).get("eval_interval", 10))
     from ..train.evaluate import build_metrics
+    from ..train.metrics_log import ScalarWriter
     metric_fns = build_metrics(cfg.get("eval", {}).get("metrics", []))
     ckpt_dir = os.path.join(logdir, "checkpoints")
+    scalars = ScalarWriter(logdir, tensorboard=not args.no_tensorboard)
 
     max_iters = train_cfg.get("max_iters", 1000)
     report = train_cfg.get("report_freq", 100)
@@ -213,7 +247,7 @@ def main(argv=None):
             # capture a handful of post-compile steps (view in xprof /
             # tensorboard; aux subsystem, SURVEY §5 tracing)
             jax.profiler.start_trace(args.profile)
-        state, metrics = step_fn(state, next(loader), rng)
+        state, metrics = step_fn(state, _shard(next(loader)), rng)
         if it == profile_at + 4 and profile_at > 0:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
@@ -226,8 +260,11 @@ def main(argv=None):
             log.info("iter %d | %s | %.2f it/s | lr %.2e", it,
                      " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())),
                      rate, plateau.lr)
+            scalars.write_dict(it, m, prefix="train/")
+            scalars.write(it, "train/it_per_s", rate)
+            scalars.write(it, "train/lr", plateau.lr)
         if it % val_freq == 0:
-            val_batch = next(val_loader)
+            val_batch = _shard(next(val_loader))
             vm = eval_fn(state.params, val_batch, rng)
             val_loss = float(vm["loss"])
             extra = ""
@@ -241,6 +278,8 @@ def main(argv=None):
             log.info("validate iter %d | %s%s", it,
                      " ".join(f"{k}={float(v):.4f}"
                               for k, v in sorted(vm.items())), extra)
+            scalars.write_dict(it, {k: float(v) for k, v in vm.items()},
+                               prefix="val/")
             new_lr = plateau.step(val_loss)
             state = state.replace(
                 opt_state=set_learning_rate(state.opt_state, new_lr))
@@ -251,6 +290,7 @@ def main(argv=None):
                 log.info("saved checkpoint %s (val %.4f)", path, val_loss)
     save_checkpoint(ckpt_dir, max_iters, state, cfg.to_dict(),
                     plateau.state_dict(), best_val)
+    scalars.close()
     log.info("done: %d iters", max_iters)
     return state
 

@@ -222,8 +222,7 @@ class CrossDockedLMDB:
         with self.env.begin() as txn:
             self.keys = [k for k, _ in txn.cursor()]
         if split_path:
-            import torch
-            split_map = torch.load(split_path)
+            split_map = load_torch_pickle(split_path)
             names = set(n for pair in split_map[split] for n in pair)
             self.keys = [k for k in self.keys
                          if k.decode(errors="ignore") in names] or self.keys
@@ -261,3 +260,61 @@ class CrossDockedLMDB:
         if self.transform is not None:
             sample = self.transform(sample, rng)
         return sample
+
+
+def load_torch_pickle(path: str):
+    """Torch-free reader for `torch.save` payloads that contain no tensors
+    (e.g. the reference's split_by_name.pt name->id maps,
+    reference: repo/datasets/pl.py:21-34). torch.save writes a zip archive
+    whose `data.pkl` member is a regular pickle; tensor-free payloads load
+    with a plain Unpickler. A .npz/.json sibling format is also accepted.
+    Falls back to `torch.load` if torch is importable and the payload does
+    carry tensors."""
+    import io
+    import pickle
+    import zipfile
+
+    if path.endswith(".json"):
+        import json
+        with open(path) as f:
+            return json.load(f)
+    if path.endswith(".npz"):
+        data = np.load(path, allow_pickle=True)
+        return {k: data[k].tolist() for k in data.files}
+
+    class _Stub:
+        def __init__(self, *a, **k):
+            pass
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.split(".")[0] == "torch":
+                return _Stub
+            return super().find_class(module, name)
+
+        def persistent_load(self, pid):
+            return None
+
+    _TORCH_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+
+    def _load_bytes(data: bytes):
+        stream = io.BytesIO(data)
+        obj = _Unpickler(stream).load()
+        if obj == _TORCH_LEGACY_MAGIC:
+            # legacy torch.save: magic, protocol, sys_info, then the object
+            _Unpickler(stream).load()
+            _Unpickler(stream).load()
+            obj = _Unpickler(stream).load()
+        return obj
+
+    try:
+        if zipfile.is_zipfile(path):
+            with zipfile.ZipFile(path) as zf:
+                member = next(n for n in zf.namelist()
+                              if n.endswith("data.pkl"))
+                return _load_bytes(zf.read(member))
+        with open(path, "rb") as f:
+            return _load_bytes(f.read())
+    except Exception:
+        import torch
+        return torch.load(path, map_location="cpu", weights_only=False)

@@ -41,3 +41,50 @@ def test_von_mises_and_dihedrals():
     p = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3)))
     d = batch_dihedrals(p[0], p[1], p[2], p[3])
     assert -np.pi <= float(d) <= np.pi
+
+
+def test_load_torch_pickle_formats(tmp_path):
+    """Torch-free reader must handle both torch.save zip + legacy formats."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from cbgbench_tpu.data.dataset import load_torch_pickle
+    d = {"train": [("a_pocket10.pdb", "a.sdf"), ("c_pocket10.pdb", "c.sdf")],
+         "test": [("b_pocket10.pdb", "b.sdf")]}
+    p = str(tmp_path / "split_by_name.pt")
+    torch.save(d, p)
+    assert load_torch_pickle(p) == d
+    p2 = str(tmp_path / "legacy.pt")
+    torch.save(d, p2, _use_new_zipfile_serialization=False)
+    assert load_torch_pickle(p2) == d
+    # json sibling format
+    import json
+    p3 = str(tmp_path / "split.json")
+    with open(p3, "w") as f:
+        json.dump({"train": [["a", "b"]]}, f)
+    assert load_torch_pickle(p3) == {"train": [["a", "b"]]}
+
+
+def test_crossdocked_lmdb_synthetic(tmp_path):
+    """Synthetic LMDB cache roundtrip (gated on the lmdb package)."""
+    import pytest
+    lmdb = pytest.importorskip("lmdb")
+    import pickle
+    import numpy as np
+    from cbgbench_tpu.data.dataset import CrossDockedLMDB
+    path = str(tmp_path / "cache.lmdb")
+    env = lmdb.open(path, map_size=10 << 20, subdir=False)
+    sample = {"protein": {"pos": np.zeros((4, 3), np.float32),
+                          "element": np.array([6, 6, 7, 8]),
+                          "is_backbone": np.zeros(4, bool),
+                          "atom_to_aa_type": np.zeros(4, np.int64)},
+              "ligand": {"pos": np.zeros((3, 3), np.float32),
+                         "atom_type": np.array([6, 7, 8]),
+                         "bond_index": np.zeros((2, 0), int),
+                         "bond_type": np.zeros(0, int)}}
+    with env.begin(write=True) as txn:
+        txn.put(b"k0", pickle.dumps(sample))
+    env.close()
+    ds = CrossDockedLMDB(path)
+    assert len(ds) == 1
+    out = ds.get(0, np.random.default_rng(0))
+    assert out["ligand"]["pos"].shape == (3, 3)
