@@ -29,34 +29,51 @@ def _register_samplers():
 
 
 def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
-                       batch_size, seed, lig_cap, rec_cap):
+                       batch_size, seed, lig_cap, rec_cap, transform=None):
     """AR growth sampling (pocket2mol / graphbp): yield (pos, atype, mask)
-    numpy arrays per replica batch, in the original coordinate frame."""
+    numpy arrays per replica batch, in the original coordinate frame.
+    When the test transform yields a decomp split (ctx_flag), the kept
+    fragment is the initial growth context (reference: linker/frag/
+    scaffold/sidechain test configs for the AR models)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     rng = np.random.default_rng(seed)
     base = ds.get(index, rng)
+    if transform is not None:
+        base = transform(base, rng)
+    ctx_flag = np.asarray(base["ligand"].get(
+        "ctx_flag", np.zeros(len(base["ligand"]["atype"]), bool)), bool)
+    has_ctx = bool(ctx_flag.any())
     done = 0
     bi = 0
     while done < num_samples:
         bs = min(batch_size, num_samples - done)
         key = jax.random.fold_in(jax.random.PRNGKey(seed), bi * 997 + index)
         if model_type == "pocket2mol":
-            from ..data.p2m import build_p2m_sample, stack_p2m_batch
+            from ..data.p2m import (build_p2m_ctx_start, build_p2m_sample,
+                                    stack_p2m_batch)
             from ..models.pocket2mol import sample_pocket2mol
-            samples = [build_p2m_sample(base, rng, num_contrast=4, edge_cap=8)
-                       for _ in range(bs)]
-            batch = stack_p2m_batch(samples, lig_cap=lig_cap, rec_cap=rec_cap)
-            empty = batch.replace(
-                ctx_pos=jnp.zeros_like(batch.ctx_pos),
-                ctx_atype=jnp.zeros_like(batch.ctx_atype),
-                ctx_mask=jnp.zeros_like(batch.ctx_mask),
-                ctx_bond=jnp.zeros_like(batch.ctx_bond),
-                ctx_frontier=jnp.zeros_like(batch.ctx_frontier),
-                rec_pred_flag=batch.rec_mask)
-            out = sample_pocket2mol(model, params, empty, key,
+            if has_ctx:
+                samples = [build_p2m_ctx_start(base, num_contrast=4,
+                                               edge_cap=8)
+                           for _ in range(bs)]
+                start = stack_p2m_batch(samples, lig_cap=lig_cap,
+                                        rec_cap=rec_cap)
+            else:
+                samples = [build_p2m_sample(base, rng, num_contrast=4,
+                                            edge_cap=8) for _ in range(bs)]
+                batch = stack_p2m_batch(samples, lig_cap=lig_cap,
+                                        rec_cap=rec_cap)
+                start = batch.replace(
+                    ctx_pos=jnp.zeros_like(batch.ctx_pos),
+                    ctx_atype=jnp.zeros_like(batch.ctx_atype),
+                    ctx_mask=jnp.zeros_like(batch.ctx_mask),
+                    ctx_bond=jnp.zeros_like(batch.ctx_bond),
+                    ctx_frontier=jnp.zeros_like(batch.ctx_frontier),
+                    rec_pred_flag=batch.rec_mask)
+            out = sample_pocket2mol(model, params, start, key,
                                     max_iter=lig_cap // 2)
             yield (np.asarray(out["pos"]), np.asarray(out["atype"]),
                    np.asarray(out["mask"]))
@@ -67,18 +84,25 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
             samples = [build_graphbp_sample(base, rng,
                                             num_atom_types=model.num_classes)
                        for _ in range(bs)]
+            samples = [s for s in samples if s is not None]
+            if not samples:
+                raise RuntimeError("graphbp: no gen atoms to sequence")
             gb = stack_graphbp_batch(samples, cap=rec_cap + lig_cap)
             gen = np.array(gb.gen_flag)
             mask = np.array(gb.mask) & ~gen
             empty = gb.replace(mask=jnp.asarray(mask),
                                gen_flag=jnp.zeros_like(gb.gen_flag),
-                               is_first_step=jnp.ones(bs, bool))
+                               is_first_step=jnp.ones(len(samples), bool))
             out = sample_graphbp(model, params, empty, key,
                                  max_atoms=lig_cap // 2, min_atoms=8)
             gmask = np.asarray(out["gen_flag"])
-            # ligand class indices live below num_classes in the merged vocab
-            atype = np.clip(np.asarray(out["z"]), 0, model.num_classes - 1)
-            yield np.asarray(out["pos"]), atype, gmask
+            z_raw = np.asarray(out["z"])
+            # molecule nodes: generated atoms plus any kept ligand-vocab
+            # context nodes (decomp tasks); protein vocab sits at an offset
+            lig_nodes = gmask | (np.asarray(out["mask"])
+                                 & (z_raw < model.num_classes))
+            atype = np.clip(z_raw, 0, model.num_classes - 1)
+            yield np.asarray(out["pos"]), atype, lig_nodes
         elif model_type == "flag":
             from ..sampling.flag_sample import sample_flag, vocab_from_dataset
             if not hasattr(ds, "_flag_vocab"):
@@ -167,7 +191,8 @@ def main(argv=None):
         if model_cfg["type"] in ("pocket2mol", "graphbp", "flag"):
             batches = _sample_ar_batches(
                 model_cfg["type"], model, params, ds, i, num_samples,
-                args.batch_size, seed, min(args.lig_cap, 64), args.rec_cap)
+                args.batch_size, seed, min(args.lig_cap, 64), args.rec_cap,
+                transform=transform)
         else:
             batches = None
         iterator = batches if batches is not None else (

@@ -88,18 +88,35 @@ def build_graphbp_sample(sample: dict, rng: np.random.Generator,
     lig, rec = sample["ligand"], sample["protein"]
     pos_gen = lig["pos"]
     types_gen = lig["atype"]
-    n_gen = len(types_gen)
     rec_pos = rec["pos"]
     rec_z = rec["element"] + num_atom_types      # offset protein vocab
 
-    # valency from bonds
-    n = n_gen
-    con = np.zeros((n, n), int)
+    # valency from bonds (over the full ligand, before any ctx split)
+    n_full = len(types_gen)
+    con = np.zeros((n_full, n_full), int)
     bi, bt = lig.get("bond_index"), lig.get("bond_type")
     if bi is not None and bi.size:
         con[bi[0], bi[1]] = bt
         con[bi[1], bi[0]] = bt
     valency = con.sum(1)
+
+    # decomp tasks: context ligand atoms condition like the protein but
+    # keep their ligand-vocab ids; only the gen part is sequenced
+    ctx_flag = lig.get("ctx_flag")
+    if ctx_flag is not None and np.asarray(ctx_flag).any():
+        ctx_flag = np.asarray(ctx_flag, bool)
+        gen_sel = ~ctx_flag
+        if not gen_sel.any():
+            return None           # nothing to supervise on this sample
+        rec_pos = np.concatenate([rec_pos, pos_gen[ctx_flag]])
+        rec_z = np.concatenate([rec_z, types_gen[ctx_flag]])
+        pos_gen = pos_gen[gen_sel]
+        types_gen = types_gen[gen_sel]
+        valency = valency[gen_sel]
+        con = con[gen_sel][:, gen_sel]
+    n_gen = len(types_gen)
+
+    n = n_gen
 
     # contact ids
     d_gc = np.linalg.norm(pos_gen[:, None] - rec_pos[None], axis=-1)

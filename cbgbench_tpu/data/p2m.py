@@ -197,6 +197,48 @@ def build_p2m_sample(sample: dict, rng: np.random.Generator,
     }
 
 
+def build_p2m_ctx_start(sample: dict, num_contrast: int = 4,
+                        edge_cap: int = 8) -> dict:
+    """Sampling start state for decomp tasks: the kept context fragment is
+    the initial ligand context, frontier = ctx atoms that lost bonds into
+    the removed gen part (reference: pocket2mol.py sample_init with ligand
+    context present). Pass through stack_p2m_batch like training samples."""
+    lig = sample["ligand"]
+    rec = sample["protein"]
+    ctx_flag = np.asarray(lig.get("ctx_flag",
+                                  np.zeros(len(lig["atype"]), bool)), bool)
+    ctx_idx = np.flatnonzero(ctx_flag)
+    n = len(lig["atype"])
+    bi, bt = lig.get("bond_index"), lig.get("bond_type")
+    num_nb_full = count_bond_neighbors(n, bi)
+    ctx_bi, ctx_bt = subgraph_bonds(bi, bt, ctx_idx)
+    num_nb_ctx = count_bond_neighbors(len(ctx_idx), ctx_bi)
+    frontier = num_nb_ctx < num_nb_full[ctx_idx]
+    if len(ctx_idx) and not frontier.any():
+        frontier[:] = True          # degenerate decomp: grow from anywhere
+    has_ctx = len(ctx_idx) > 0
+    nr = len(rec["pos"])
+    return {
+        "protein": rec,
+        "translation": sample.get("translation", np.zeros(3, np.float32)),
+        "rec_focal": np.zeros(nr, bool),
+        "rec_pred": np.zeros(nr, bool) if has_ctx else np.ones(nr, bool),
+        "ctx_pos": lig["pos"][ctx_idx], "ctx_atype": lig["atype"][ctx_idx],
+        "ctx_bond_index": ctx_bi, "ctx_bond_type": ctx_bt,
+        "ctx_focal": frontier.copy(),
+        "ctx_pred": np.ones(len(ctx_idx), bool), "frontier": frontier,
+        "msk_pos": np.zeros((0, 3)), "msk_gen": np.zeros(0, bool),
+        "lig_focal_edge": np.zeros((0, 2), int),
+        "rec_focal_edge": np.zeros((0, 2), int),
+        "con_pos_real": np.zeros((num_contrast, 3)),
+        "con_type_real": np.zeros(num_contrast, int),
+        "con_pos_fake": np.zeros((num_contrast, 3)),
+        "con_edge_ctx": np.zeros((num_contrast, edge_cap), int),
+        "con_edge_type": np.zeros((num_contrast, edge_cap), int),
+        "con_edge_mask": np.zeros((num_contrast, edge_cap), bool),
+    }
+
+
 def stack_p2m_batch(samples, lig_cap=64, rec_cap=448, msk_cap=64,
                     ef_cap=48) -> P2MBatch:
     from .batch import _pad_to

@@ -333,12 +333,15 @@ def mixed_mask_tf(min_ratio=0.0, max_ratio=1.2, min_num_masked=1,
 
 
 @TRANSFORMS.register("keep_ctx_only")
-def keep_ctx_only(mode: str = "add_aromatic", **kw):
+def keep_ctx_only(mode: str = "add_aromatic", types_init: str = "uniform",
+                  **kw):
     """Decomp test-time: keep the context atoms fixed, replace the generated
     part with prior-initialized atoms (count from the linker prior, uniform
-    types, Gaussian positions around the kept fragment's centroid) —
-    the choose_ctx_gen + assign_linkernum flow
-    (reference: configs/*/test + init_lig.py:173-198)."""
+    or absorbing types, Gaussian positions around the kept fragment's
+    centroid) — the choose_ctx_gen + assign_linkernum flow
+    (reference: configs/*/test + init_lig.py:173-198). ``types_init``
+    matches the model's type prior: 'uniform' (targetdiff/diffsbdd) or
+    'absorbing' (diffbp's mask-type schedule)."""
     prior_atom = _load_prior("_atom_num_dist.npy")
     prior_linker = _load_prior("_linker_num_dist.npy")
     num_types = NUM_ATOM_TYPES_BY_MODE[mode]
@@ -358,10 +361,13 @@ def keep_ctx_only(mode: str = "add_aromatic", **kw):
         center = (ctx_pos.mean(0) if len(ctx_pos)
                   else s["protein"]["pos"].mean(0))
         new_pos = center + rng.standard_normal((n, 3)).astype(np.float32)
+        if types_init == "absorbing":
+            new_types = np.zeros(n, np.int32)
+        else:
+            new_types = rng.integers(0, num_types, n).astype(np.int32)
         s["ligand"] = {
             "pos": np.concatenate([ctx_pos, new_pos]).astype(np.float32),
-            "atype": np.concatenate(
-                [ctx_atype, rng.integers(0, num_types, n)]).astype(np.int32),
+            "atype": np.concatenate([ctx_atype, new_types]).astype(np.int32),
             "gen_flag": np.concatenate(
                 [np.zeros(len(ctx_pos), bool), np.ones(n, bool)]),
         }
