@@ -123,16 +123,92 @@ def match_motif(mol: Molecule, key: str, forbidden: set) -> Optional[List[int]]:
 
 def _frame_from_anchors(pos: np.ndarray, anchors: List[int]):
     """(center, R) with columns Gram-Schmidt from (p1-center, p2-center)
-    (reference: frame_fg.py per-motif frame funcs, all the same recipe)."""
+    (reference: frame_fg.py:25-47 construct_3d_basis; every per-motif frame
+    function frame_fg.py:95-565 uses this recipe with its own anchors)."""
     p1, center, p2 = pos[anchors[0]], pos[anchors[1]], pos[anchors[2]]
     e1 = p1 - center
-    e1 = e1 / (np.linalg.norm(e1) + 1e-9)
+    e1 = e1 / (np.linalg.norm(e1) + 1e-6)
     v2 = p2 - center
     u2 = v2 - np.dot(v2, e1) * e1
-    e2 = u2 / (np.linalg.norm(u2) + 1e-9)
+    e2 = u2 / (np.linalg.norm(u2) + 1e-6)
     e3 = np.cross(e1, e2)
     R = np.stack([e1, e2, e3], axis=1)
     return center, R
+
+
+def rotation_to_so3vec(R: np.ndarray) -> np.ndarray:
+    """Axis-angle (so3) vector of a rotation matrix
+    (reference: frame_fg.py:49-73 log_rotation + skewsym_to_so3vec)."""
+    trace = np.trace(R)
+    cos_theta = np.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    sin_theta = np.sqrt(max(1.0 - cos_theta ** 2, 0.0))
+    theta = np.arccos(cos_theta)
+    coef = (theta + 1e-8) / (2.0 * sin_theta + 2e-8)
+    logR = coef * (R - R.T)
+    return np.array([logR[1, 2], logR[2, 0], logR[0, 1]])
+
+
+# chirality-split motifs: local coords are compared against the two
+# reference templates; the `perms` entry lists graph-automorphic atom
+# relabelings CalcRMS would also try (the two =O of NS(=O)=O are
+# interchangeable; O=CNO has no symmetric pair)
+ALIGNED_RMSD = 0.3   # reference: molecule_parser.py:15
+_CHIRAL_SPLITS = {
+    "NS(=O)=O": {"perms": [[0, 1, 2, 3], [0, 1, 3, 2]]},
+    "O=CNO": {"perms": [[0, 1, 2, 3]]},
+}
+
+
+def _template_rmsd(local_pos: np.ndarray, key: str, variant: str) -> float:
+    from ..constants.fg import MOTIF_POS
+    tpl = MOTIF_POS[f"{key}_{variant}"]
+    best = np.inf
+    for perm in _CHIRAL_SPLITS[key]["perms"]:
+        d = local_pos[list(perm)] - tpl
+        best = min(best, float(np.sqrt((d ** 2).sum(-1).mean())))
+    return best
+
+
+def assign_chirality(key: str, local_pos: np.ndarray) -> str:
+    """Split NS(=O)=O / O=CNO into their _1/_2 chirality classes by RMSD
+    against the bundled reference conformers (reference:
+    molecule_parser.py:710-737 prepare_fg_atom with ALIGNED_RMSD=0.3)."""
+    if key not in _CHIRAL_SPLITS:
+        return key
+    rmsd1 = _template_rmsd(local_pos, key, "1")
+    if rmsd1 <= ALIGNED_RMSD:
+        return f"{key}_1"
+    return f"{key}_2"
+
+
+def reindex(frame_idx: List[int], fg_size: int):
+    """Anchor atoms first, then the rest in order
+    (reference: frame_fg.py:566-575)."""
+    idx_re = list(frame_idx)
+    for i in range(fg_size):
+        if i not in frame_idx:
+            idx_re.append(i)
+    return frame_idx, idx_re
+
+
+def transform_into_fg_data(key: str, positions: np.ndarray):
+    """Reference frame-function API (frame_fg.py:577-580): positions of one
+    matched motif (in vocabulary atom order) -> dict with the SE(3) frame,
+    so3 orientation vector, frame-local coordinates, and the anchor-first
+    reindexing. The chirality-resolved class name is in 'key'."""
+    if key not in FRAME_ANCHORS:
+        raise KeyError(f"no frame function for motif {key!r}")
+    positions = np.asarray(positions, float)
+    anchors = FRAME_ANCHORS[key]
+    center, R = _frame_from_anchors(positions, anchors)
+    local_pos = (positions - center) @ R
+    _, idx_re = reindex(anchors, len(positions))
+    return {
+        "key": assign_chirality(key, local_pos),
+        "center": center, "R": R, "v": rotation_to_so3vec(R),
+        "local_pos": local_pos, "idx_re": idx_re,
+        "positions_reindexed": positions[idx_re],
+    }
 
 
 def decompose_fg(mol: Molecule):
@@ -151,11 +227,13 @@ def decompose_fg(mol: Molecule):
             if m is None:
                 break
             taken.update(m)
-            center, R = _frame_from_anchors(mol.pos, [m[a] for a in
-                                                      FRAME_ANCHORS[key]])
-            wid = FG2CLASS.get(key, FG2CLASS.get(key + "_1", 0))
-            out.append({"key": key, "wid": wid, "atoms": m,
-                        "center": center, "R": R})
+            frame = transform_into_fg_data(key, mol.pos[m])
+            ckey = frame["key"]      # chirality-resolved (_1/_2 splits)
+            wid = FG2CLASS.get(ckey, FG2CLASS.get(key, 0))
+            out.append({"key": ckey if ckey in FG2CLASS else key,
+                        "wid": wid, "atoms": m, "center": frame["center"],
+                        "R": frame["R"], "v": frame["v"],
+                        "local_pos": frame["local_pos"]})
     for a in range(mol.num_atoms):
         if a in taken:
             continue
