@@ -53,6 +53,11 @@ class TargetDiff(nn.Module):
     loss_weight_atom: float = 100.0
     # compute precision of the denoiser's edge MLPs / attention
     bf16: bool = False
+    # neighbor-gather backend: 'auto' | 'pallas' | 'onehot'
+    gather_method: str = "auto"
+    # denoiser implementation: 'xla' (differentiable) | 'pallas' (fused
+    # forward-only TPU kernels; sampling path)
+    impl: str = "xla"
 
     @classmethod
     def from_config(cls, cfg) -> "TargetDiff":
@@ -80,6 +85,7 @@ class TargetDiff(nn.Module):
             loss_weight_pos=cfg.get("loss_weights", {}).get("pos", 1.0),
             loss_weight_atom=cfg.get("loss_weights", {}).get("atom", 100.0),
             bf16=cfg.get("bf16", False),
+            gather_method=cfg.get("gather_method", "auto"),
         )
 
     def setup(self):
@@ -96,7 +102,8 @@ class TargetDiff(nn.Module):
             num_classes=self.num_classes, num_layers=self.num_layers,
             hidden_dim=self.emb_dim, n_heads=self.n_heads, k=self.k,
             r_max=self.r_max,
-            dtype=jnp.bfloat16 if self.bf16 else None)
+            dtype=jnp.bfloat16 if self.bf16 else None,
+            gather_method=self.gather_method, impl=self.impl)
 
     # ------------------------------------------------------------------
 

@@ -16,12 +16,13 @@ import math
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.rbf import GaussianSmearingTable
 from ..ops.segment import masked_softmax
 from ..utils.geometry import safe_norm
-from .common import MLP, outer_product
+from .common import ACT, MLP, outer_product
 
 
 class X2HAttention(nn.Module):
@@ -83,6 +84,212 @@ class X2HAttention(nn.Module):
                       name="node_output")(
                 jnp.concatenate([out, h_center], -1))
         return out + h_center
+
+
+class _EdgeAttnBase(nn.Module):
+    """Shared param set + dual implementation of the fused edge attention.
+
+    Params implement  Dense([edge_feat, h_dst, h_src])  decomposed as
+    edge/dst/src pieces (identical math to a concat Dense; every weight
+    initialized with var 1/total_fan_in to match the concat init), then
+    LayerNorm + act + second Dense, for both the k and v nets.
+
+    impl='xla' runs jnp ops over pre-gathered h_src + shared edge_feat
+    (differentiable, any backend). impl='pallas' runs the whole edge phase
+    in one fused TPU kernel (ops/pallas_edge_attn.py, forward-only) —
+    gathers happen inside the kernel."""
+
+    hidden_dim: int = 128
+    n_heads: int = 16
+    act: str = "relu"
+    norm: bool = True
+    dtype: Any = None
+    impl: str = "xla"
+
+    EDGE_FEAT = 84           # 4 edge types + 4x20 type (x) RBF
+
+    def _params(self, v_out_dim):
+        d = self.hidden_dim
+        ef, total = self.EDGE_FEAT, self.EDGE_FEAT + 2 * d
+
+        def vinit(fan):
+            return nn.initializers.variance_scaling(
+                fan / total, "fan_in", "truncated_normal")
+
+        p = {}
+        for tag, vout in (("k", d), ("v", v_out_dim)):
+            p[f"{tag}_in_edge"] = self.param(f"{tag}_in_edge", vinit(ef),
+                                             (ef, d))
+            p[f"{tag}_in_bias"] = self.param(
+                f"{tag}_in_bias", nn.initializers.zeros, (d,))
+            p[f"{tag}_in_dst"] = self.param(f"{tag}_in_dst", vinit(d),
+                                            (d, d))
+            p[f"{tag}_in_src"] = self.param(f"{tag}_in_src", vinit(d),
+                                            (d, d))
+            p[f"{tag}_ln_scale"] = self.param(
+                f"{tag}_ln_scale", nn.initializers.ones, (d,))
+            p[f"{tag}_ln_bias"] = self.param(
+                f"{tag}_ln_bias", nn.initializers.zeros, (d,))
+            p[f"{tag}_out"] = self.param(
+                f"{tag}_out", nn.initializers.lecun_normal(), (d, vout))
+            p[f"{tag}_out_bias"] = self.param(
+                f"{tag}_out_bias", nn.initializers.zeros, (vout,))
+        return p
+
+    def _edge_net(self, p, tag, edge_feat, h, h_src, cdt):
+        """XLA path of one edge MLP: [B,N,K,vout]. Everything stays in the
+        compute dtype — an f32 bias/LN param would promote the big [B,N,K,D]
+        intermediates to f32 and double their HBM traffic."""
+        z = (jnp.einsum("...e,ed->...d", edge_feat.astype(cdt),
+                        p[f"{tag}_in_edge"].astype(cdt))
+             + p[f"{tag}_in_bias"].astype(cdt)
+             + jnp.einsum("...d,de->...e", h.astype(cdt),
+                          p[f"{tag}_in_dst"].astype(cdt))[..., None, :]
+             + jnp.einsum("...d,de->...e", h_src.astype(cdt),
+                          p[f"{tag}_in_src"].astype(cdt)))
+        if self.norm:
+            mu = jnp.mean(z, -1, keepdims=True)
+            var = jnp.mean(jnp.square(z - mu), -1, keepdims=True)
+            z = ((z - mu) * jax.lax.rsqrt(var + 1e-6)
+                 * p[f"{tag}_ln_scale"].astype(cdt)
+                 + p[f"{tag}_ln_bias"].astype(cdt))
+        z = ACT[self.act](z)
+        return (jnp.einsum("...d,dv->...v", z.astype(cdt),
+                           p[f"{tag}_out"].astype(cdt))
+                + p[f"{tag}_out_bias"].astype(cdt))
+
+    def _kernel_weights(self, p):
+        return {
+            "wea": jnp.concatenate([p["k_in_edge"][:4], p["v_in_edge"][:4]],
+                                   1),
+            "web": jnp.concatenate([p["k_in_edge"][4:], p["v_in_edge"][4:]],
+                                   1),
+            "ws": jnp.concatenate([p["k_in_src"], p["v_in_src"]], 1),
+            "ln": jnp.stack([p["k_ln_scale"], p["k_ln_bias"],
+                             p["v_ln_scale"], p["v_ln_bias"]]),
+            "w2k": p["k_out"], "b2k": p["k_out_bias"],
+            "w2v": p["v_out"], "b2v": p["v_out_bias"],
+        }
+
+    def _t_dst(self, p, h):
+        """Node-level dst terms (+ first biases), concat k|v."""
+        wd = jnp.concatenate([p["k_in_dst"], p["v_in_dst"]], 1)
+        b = jnp.concatenate([p["k_in_bias"], p["v_in_bias"]])
+        return h @ wd + b
+
+    def _kernel_weights_pre(self, p):
+        """Weights for the hybrid (pre-gathered) kernel."""
+        return {
+            "we": jnp.concatenate([p["k_in_edge"], p["v_in_edge"]], 1),
+            "ln": jnp.stack([p["k_ln_scale"], p["k_ln_bias"],
+                             p["v_ln_scale"], p["v_ln_bias"]]),
+            "w2k": p["k_out"], "b2k": p["k_out_bias"],
+            "w2v": p["v_out"], "b2v": p["v_out_bias"],
+        }
+
+    def _t_src_gathered(self, p, h, idx):
+        """Node-level src projections, gathered to edges via the XLA
+        one-hot matmul (runs at MXU peak): [B,N,K,2D] bf16."""
+        from ..ops.knn import gather_neighbors
+        ws = jnp.concatenate([p["k_in_src"], p["v_in_src"]], 1)
+        t_src = (h.astype(jnp.bfloat16) @ ws.astype(jnp.bfloat16))
+        return gather_neighbors(t_src, idx)
+
+
+class X2HAttnFused(_EdgeAttnBase):
+    """X2H invariant attention (fused hot path for UniTransformer)."""
+
+    out_fc: bool = False
+
+    @nn.compact
+    def __call__(self, h, valid, e_w, *, h_src=None, edge_feat=None,
+                 idx=None, edge_attr=None, rel_x=None):
+        d = self.hidden_dim
+        dh = d // self.n_heads
+        cdt = self.dtype or h.dtype
+        p = self._params(d)
+        q = MLP(d, d, norm=self.norm, act=self.act, dtype=self.dtype,
+                name="hq_func")(h)
+
+        if self.impl == "pallas":
+            from ..ops.pallas_edge_attn import edge_attention
+            ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
+                                                      jnp.float32)
+            out = edge_attention(
+                h, idx, valid, edge_attr, ew, rel_x, q, self._t_dst(p, h),
+                self._kernel_weights(p), mode="x2h", heads=self.n_heads)
+            out = out.astype(h.dtype)
+        elif self.impl == "pallas_pre":
+            from ..ops.pallas_edge_attn import edge_attention_pre
+            ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
+                                                      jnp.float32)
+            out = edge_attention_pre(
+                self._t_src_gathered(p, h, idx), edge_feat, valid, ew,
+                rel_x, q, self._t_dst(p, h), self._kernel_weights_pre(p),
+                mode="x2h", heads=self.n_heads)
+            out = out.astype(h.dtype)
+        else:
+            k = self._edge_net(p, "k", edge_feat, h, h_src, cdt)
+            k = k.reshape(k.shape[:-1] + (self.n_heads, dh))
+            v = self._edge_net(p, "v", edge_feat, h, h_src, cdt)
+            if e_w is not None:
+                v = v * e_w
+            v = v.reshape(v.shape[:-1] + (self.n_heads, dh))
+            qh = q.reshape(q.shape[:-1] + (self.n_heads, dh))
+            logits = jnp.sum(qh[..., None, :, :] * k, -1) / math.sqrt(dh)
+            alpha = masked_softmax(logits, valid, axis=-2)
+            out = jnp.sum(alpha[..., None] * v, axis=-3)
+            out = out.reshape(out.shape[:-2] + (d,)).astype(h.dtype)
+
+        if self.out_fc:
+            out = MLP(d, d, norm=self.norm, act=self.act,
+                      name="node_output")(jnp.concatenate([out, h], -1))
+        return out + h
+
+
+class H2XAttnFused(_EdgeAttnBase):
+    """H2X equivariant coordinate update (fused hot path)."""
+
+    ew_scale: bool = True
+
+    @nn.compact
+    def __call__(self, h, valid, e_w, rel_x, *, h_src=None, edge_feat=None,
+                 idx=None, edge_attr=None):
+        d = self.hidden_dim
+        dh = d // self.n_heads
+        cdt = self.dtype or h.dtype
+        p = self._params(self.n_heads)
+        q = MLP(d, d, norm=self.norm, act=self.act, dtype=self.dtype,
+                name="xq_func")(h)
+
+        if self.impl == "pallas":
+            from ..ops.pallas_edge_attn import edge_attention
+            ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(
+                valid.shape + (1,), jnp.float32)
+            return edge_attention(
+                h, idx, valid, edge_attr, ew, rel_x, q, self._t_dst(p, h),
+                self._kernel_weights(p), mode="h2x",
+                heads=self.n_heads).astype(rel_x.dtype)
+        if self.impl == "pallas_pre":
+            from ..ops.pallas_edge_attn import edge_attention_pre
+            ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(
+                valid.shape + (1,), jnp.float32)
+            return edge_attention_pre(
+                self._t_src_gathered(p, h, idx), edge_feat, valid, ew,
+                rel_x, q, self._t_dst(p, h), self._kernel_weights_pre(p),
+                mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
+
+        k = self._edge_net(p, "k", edge_feat, h, h_src, cdt)
+        k = k.reshape(k.shape[:-1] + (self.n_heads, dh))
+        v = self._edge_net(p, "v", edge_feat, h, h_src, cdt)
+        if self.ew_scale and e_w is not None:
+            v = v * e_w
+        v = v[..., :, None] * rel_x[..., None, :]        # [B,N,K,H,3]
+        qh = q.reshape(q.shape[:-1] + (self.n_heads, dh))
+        logits = jnp.sum(qh[..., None, :, :] * k, -1) / math.sqrt(dh)
+        alpha = masked_softmax(logits, valid, axis=-2)
+        out = jnp.sum(alpha[..., None] * v, axis=-3)
+        return out.mean(axis=-2).astype(rel_x.dtype)
 
 
 class H2XAttention(nn.Module):

@@ -16,11 +16,11 @@ import jax
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.knn import gather_neighbors, gather_neighbors_multi, knn_neighbors
+from ..ops.knn import gather_neighbors, knn_neighbors
 from ..ops.rbf import GaussianSmearingTable
 from ..utils.geometry import safe_norm
-from .attention import H2XAttention, X2HAttention
-from .common import MLP, ShiftedSoftplus
+from .attention import H2XAttnFused, X2HAttnFused
+from .common import MLP, ShiftedSoftplus, outer_product
 
 
 def build_edge_type(lig_flag, idx, valid):
@@ -35,6 +35,14 @@ def build_edge_type(lig_flag, idx, valid):
 
 
 class E3DualAttentionLayer(nn.Module):
+    """One dual-attention layer over a shared per-layer neighborhood.
+
+    Fused hot path: the x-gather, distance RBF, and edge-type x RBF outer
+    product are computed ONCE per layer and shared between X2H and H2X
+    (both see the same x_in, reference: unitransformer.py:116-117 runs
+    them back-to-back on the same edges); h gathers ride the smart_gather
+    backend (Pallas one-hot-in-VMEM kernel on TPU)."""
+
     hidden_dim: int = 128
     n_heads: int = 16
     edge_feat_dim: int = 4
@@ -47,42 +55,77 @@ class E3DualAttentionLayer(nn.Module):
     ew_net_type: str = "global"
     x2h_out_fc: bool = False
     dynamic_x: bool = True
+    gather_method: str = "auto"
+    impl: str = "xla"            # 'xla' (differentiable) | 'pallas' (fwd)
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, h, idx, valid, edge_attr, e_w, gen_flag):
+        from ..ops.knn import smart_gather
+
         common = dict(hidden_dim=self.hidden_dim, n_heads=self.n_heads,
-                      edge_feat_dim=self.edge_feat_dim,
-                      num_r_gaussian=self.num_r_gaussian, r_max=self.r_max,
-                      act=self.act, norm=self.norm,
-                      ew_net_type=self.ew_net_type, dtype=self.dtype)
-
-        # features gather in the compute dtype (bf16 halves the dominant
-        # one-hot-matmul gather cost); coordinates stay f32
+                      act=self.act, norm=self.norm, dtype=self.dtype,
+                      impl=self.impl)
         gdt = self.dtype or h.dtype
+        use_ew = self.ew_net_type == "global"
+        ew = e_w if use_ew else None
 
+        # ---- shared per-layer edge geometry ----
         h_in = h
-        for i in range(self.num_x2h):
+        if self.impl == "pallas":
+            # h gathers happen inside the fused kernel; only rel_x is
+            # precomputed host-of-kernel (exact 3-plane gather)
             x_src = gather_neighbors(x, idx)
-            h_src = gather_neighbors(h_in.astype(gdt), idx).astype(h.dtype)
             rel_x = x[..., :, None, :] - x_src
-            h_dst = jnp.broadcast_to(h_in[..., :, None, :], h_src.shape)
-            h_in = X2HAttention(out_fc=self.x2h_out_fc, name=f"x2h_{i}",
-                                **common)(rel_x, h_dst, h_src, edge_attr,
-                                          valid, e_w)
+            h_src = h_src2 = None
+            edge_feat = None
+        elif self.impl == "pallas_pre":
+            # hybrid: XLA gathers projections at MXU peak, the kernel
+            # fuses the rest; edge features shared across both attentions
+            x_src = gather_neighbors(x, idx)
+            rel_x = x[..., :, None, :] - x_src
+            rbf_table = GaussianSmearingTable(0.0, self.r_max,
+                                              self.num_r_gaussian)
+            dist = safe_norm(rel_x, axis=-1, keepdims=True)
+            rbf = rbf_table(dist)
+            edge_feat = jnp.concatenate(
+                [edge_attr, outer_product(edge_attr, rbf)],
+                -1).astype(jnp.bfloat16)
+            h_src = h_src2 = None
+        else:
+            h_src, x_src = smart_gather([h_in.astype(gdt), x], idx,
+                                        method=self.gather_method)
+            rel_x = x[..., :, None, :] - x_src
+            rbf_table = GaussianSmearingTable(0.0, self.r_max,
+                                              self.num_r_gaussian)
+            dist = safe_norm(rel_x, axis=-1, keepdims=True)
+            rbf = rbf_table(dist)
+            edge_feat = jnp.concatenate(
+                [edge_attr, outer_product(edge_attr, rbf)], -1).astype(gdt)
+            h_src = h_src.astype(h.dtype)
+
+        for i in range(self.num_x2h):
+            h_in = X2HAttnFused(out_fc=self.x2h_out_fc, name=f"x2h_{i}",
+                                **common)(h_in, valid, ew, h_src=h_src,
+                                          edge_feat=edge_feat, idx=idx,
+                                          edge_attr=edge_attr, rel_x=rel_x)
         h_out = h_in
 
-        x_in, x_out = x, x
+        x_out = x
         for i in range(self.num_h2x):
-            x_src = gather_neighbors(x_in, idx)
-            h_src = gather_neighbors(h_out.astype(gdt), idx).astype(h.dtype)
-            rel_x = x_in[..., :, None, :] - x_src
-            h_dst = jnp.broadcast_to(h_out[..., :, None, :], h_src.shape)
-            delta_x = H2XAttention(name=f"h2x_{i}", **common)(
-                rel_x, h_dst, h_src, edge_attr, valid, e_w)
+            if self.impl not in ("pallas", "pallas_pre"):
+                (h_src2,) = smart_gather([h_out.astype(gdt)], idx,
+                                         method=self.gather_method)
+                h_src2 = h_src2.astype(h.dtype)
+            delta_x = H2XAttnFused(ew_scale=use_ew, name=f"h2x_{i}",
+                                   **common)(h_out, valid, e_w, rel_x,
+                                             h_src=h_src2,
+                                             edge_feat=edge_feat, idx=idx,
+                                             edge_attr=edge_attr)
             x_out = x_out + delta_x * gen_flag.astype(x.dtype)[..., None]
-            if self.dynamic_x:
-                x_in = x_out
+            # dynamic_x within a single h2x application is a no-op; with
+            # num_h2x > 1 later applications keep the layer-entry edges
+            # (reference rebuilds edges per block, not per sub-iteration)
         return x_out, h_out
 
 
@@ -104,6 +147,8 @@ class UniTransformer(nn.Module):
     num_x2h: int = 1
     num_h2x: int = 1
     x2h_out_fc: bool = False
+    gather_method: str = "auto"
+    impl: str = "xla"
     dtype: Any = None
 
     @nn.compact
@@ -118,6 +163,7 @@ class UniTransformer(nn.Module):
                 act=self.act, norm=self.norm, num_x2h=self.num_x2h,
                 num_h2x=self.num_h2x, ew_net_type=self.ew_net_type,
                 x2h_out_fc=self.x2h_out_fc, dtype=self.dtype,
+                gather_method=self.gather_method, impl=self.impl,
                 name=f"layer_{i}")
             for i in range(self.num_layers)
         ]

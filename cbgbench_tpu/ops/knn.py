@@ -57,6 +57,18 @@ def knn_neighbors(pos: jnp.ndarray, mask: jnp.ndarray, k: int,
     return idx.astype(jnp.int32), valid
 
 
+def _split_planes(x: jnp.ndarray):
+    """f32 -> 3 exact bf16 planes (hi + two residuals). A one-hot gather of
+    each plane is exact (selection by a 1.0-weighted bf16 dot), so the
+    recombined f32 is exact to ~2^-24 — unlike a direct f32 MXU matmul,
+    which TPUs silently run at bf16 input precision."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather per-neighbor features — as a one-hot matmul on the MXU.
 
@@ -65,27 +77,40 @@ def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     XLA's dynamic gather lowers to a near-serial loop on TPU (~300ms for
     [16,512,32,128]); the one-hot contraction runs on the systolic array in
-    ~1ms and is numerically exact for f32 payloads (multiply by 1.0).
+    ~1ms. bf16 payloads gather exactly with a bf16 one-hot; f32/int
+    payloads ride as three exact bf16 planes (TPU f32 matmuls run at bf16
+    input precision by default, which silently rounded coordinates before).
     """
     squeeze = x.ndim == idx.ndim - 1
     if squeeze:
         x = x[..., None]
     in_dtype = x.dtype
-    if in_dtype in (jnp.bool_, jnp.int32, jnp.int8, jnp.int64):
-        x = x.astype(jnp.float32)
-    b, n = x.shape[0], x.shape[1]
+    b, n, d = x.shape[0], x.shape[1], x.shape[-1]
     flat_idx = idx.reshape(b, -1)                       # [B, N*K]
     onehot = (flat_idx[..., None] == jnp.arange(n, dtype=idx.dtype)
-              ).astype(x.dtype)                         # [B, N*K, N]
-    acc = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
-    out = jax.lax.dot_general(onehot, x, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=acc).astype(x.dtype)
-    out = out.reshape(idx.shape + (x.shape[-1],))
+              ).astype(jnp.bfloat16)                    # [B, N*K, N]
+
+    if in_dtype == jnp.bfloat16:
+        payload = x
+        n_planes = 1
+    elif in_dtype == jnp.bool_:
+        payload = x.astype(jnp.bfloat16)
+        n_planes = 1
+    else:
+        hi, mid, lo = _split_planes(x.astype(jnp.float32))
+        payload = jnp.concatenate([hi, mid, lo], axis=-1)
+        n_planes = 3
+    out = jax.lax.dot_general(onehot, payload, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    if n_planes == 3:
+        out = out[..., :d] + out[..., d:2 * d] + out[..., 2 * d:]
+    out = out.reshape(idx.shape + (d,))
     if in_dtype == jnp.bool_:
         out = out > 0.5
-    elif out.dtype != in_dtype:
-        out = jnp.round(out).astype(in_dtype) if in_dtype in (
-            jnp.int32, jnp.int8, jnp.int64) else out.astype(in_dtype)
+    elif in_dtype in (jnp.int32, jnp.int8, jnp.int64):
+        out = jnp.round(out).astype(in_dtype)
+    else:
+        out = out.astype(in_dtype)
     return out[..., 0] if squeeze else out
 
 
@@ -97,6 +122,21 @@ def gather_neighbors_multi(xs, idx):
     out = gather_neighbors(cat, idx)
     splits = np.cumsum(dims)[:-1].tolist()
     return jnp.split(out, splits, axis=-1)
+
+
+def smart_gather(xs, idx, method: str = "auto"):
+    """Multi-tensor neighbor gather with backend dispatch.
+
+    method: 'pallas' (fused VMEM kernel, TPU only), 'onehot' (XLA one-hot
+    matmul), or 'auto' (pallas on TPU, onehot elsewhere). Both paths are
+    exact for bf16 and f32 payloads (f32 rides as 3 bf16 planes)."""
+    if method == "auto":
+        from .pallas_gather import gather_available
+        method = "pallas" if gather_available() else "onehot"
+    if method == "pallas":
+        from .pallas_gather import fused_gather
+        return list(fused_gather(xs, idx))
+    return [gather_neighbors(x, idx) for x in xs]
 
 
 def hybrid_neighbors(pos, mask, lig_flag, k: int):

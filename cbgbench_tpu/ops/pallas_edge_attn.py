@@ -1,0 +1,398 @@
+"""Pallas TPU kernels: fully fused dual edge attention (X2H + H2X).
+
+One UniTransformer layer spends its time materializing per-edge
+intermediates in HBM: gathered neighbor features, the [E, 84] edge
+features, two decomposed edge MLPs each with two matmuls + LayerNorm, the
+attention logits, and the softmax — ~1 GB of HBM round-trips per layer at
+[16, 512, 32] while the useful FLOPs would take <0.5 ms. These kernels run
+the whole edge phase in VMEM per (batch, node-tile) program:
+
+  one-hot gather (MXU, on-the-fly one-hot)  ->  RBF edge features
+  ->  decomposed edge MLP (edge @ W_e + dst-broadcast + h_src @ W_s)
+  ->  LayerNorm + ReLU + second Dense  ->  per-head logits (HeadSum trick)
+  ->  masked softmax over K  ->  aggregation (X2H: sum a*v; H2X: sum
+      a*v_scalar*rel_x, mean over heads)
+
+Semantics match nn.attention.{X2HAttnFused, H2XAttnFused} (same params,
+same math; logits/matmuls at bf16 MXU precision with f32 accumulation).
+The kernels are forward-only: training uses the differentiable XLA path,
+sampling switches to these (reference hot loop:
+repo/modules/attention/x2h_attention.py:49-57 + h2x_attention.py:8-73).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rbf import FIXED_OFFSETS
+
+LANE = 128
+NEG = -1e9
+
+
+def _edge_attn_kernel(payload_ref, idx_ref, valid_ref, ea_ref, ew_ref,
+                      relx_ref, q_ref, tdst_ref, offs_ref,
+                      wea_ref, web_ref, ws_ref, ln_ref, w2k_ref, b2k_ref,
+                      w2v_ref, b2v_ref, out_ref, *,
+                      mode: str, n_src: int, k_nb: int, heads: int,
+                      eps: float):
+    """One (batch, node-tile) program.
+
+    payload: [1, N, D] bf16 node features (h)
+    idx/valid/ew: [1, E, 1]; ea: [1, E, 4]; relx: [1, E, 3] f32
+    q/tdst: [1, TILE_N, D] / [1, TILE_N, 2D]
+    weights: wea [4, 2D], web [80, 2D], ws [D, 2D], ln [4, 2D],
+             w2k [D, D], b2k [1, D], w2v [D, VOUT], b2v [1, VOUT]
+    out: [1, TILE_N, D] (x2h) or [1, TILE_N, 3] (h2x)
+    """
+    d = payload_ref.shape[2]
+    tile_n = q_ref.shape[1]
+    e = tile_n * k_nb
+    dh = d // heads
+    f32 = jnp.float32
+
+    idx = idx_ref[0]                                     # [E, 1]
+    # ---- gather h_src: on-the-fly one-hot, accumulate f32 on the MXU ----
+    hs = jnp.zeros((e, d), f32)
+    for n0 in range(0, n_src, LANE):
+        chunk = min(LANE, n_src - n0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (e, chunk), 1) + n0
+        oh = (idx == cols).astype(jnp.bfloat16)
+        hs = hs + jnp.dot(oh, payload_ref[0, n0:n0 + chunk, :],
+                          preferred_element_type=f32)
+    hs = hs.astype(jnp.bfloat16)
+
+    # ---- edge features -> first (decomposed) Dense of k|v ----
+    relx = relx_ref[0][:, :3].astype(f32)                # [E, 3]
+    dist = jnp.sqrt(jnp.sum(relx * relx, -1, keepdims=True) + eps)
+    diff = dist - offs_ref[0][None, :]                   # [E,1]-[1,20]
+    rbf = jnp.exp(-0.5 * diff * diff).astype(jnp.bfloat16)   # [E, 20]
+    ea = ea_ref[0].astype(jnp.bfloat16)                  # [E, 4]
+
+    two_d = wea_ref.shape[1]
+    z = jnp.dot(ea, wea_ref[:], preferred_element_type=f32)
+    for c in range(4):
+        zc = jnp.dot(rbf, web_ref[c * 20:(c + 1) * 20, :],
+                     preferred_element_type=f32)
+        z = z + ea[:, c:c + 1].astype(f32) * zc
+    z = z + jnp.dot(hs, ws_ref[:], preferred_element_type=f32)
+
+    # dst-broadcast of node-level terms via (e // K == t) one-hot
+    rows = jax.lax.broadcasted_iota(jnp.int32, (e, tile_n), 0) // k_nb
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (e, tile_n), 1)
+    oh_dst = (rows == cols_t).astype(jnp.bfloat16)       # [E, TILE_N]
+    z = z + jnp.dot(oh_dst, tdst_ref[0], preferred_element_type=f32)
+
+    # ---- LayerNorm halves + ReLU + second Dense ----
+    def layer_norm(x, scale, bias):
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, -1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+
+    zk, zv = z[:, :d], z[:, d:]
+    ln = ln_ref[:].astype(f32)                           # [4, D]
+    k = jnp.maximum(layer_norm(zk, ln[0:1, :], ln[1:2, :]), 0.0)
+    v = jnp.maximum(layer_norm(zv, ln[2:3, :], ln[3:4, :]), 0.0)
+    k = (jnp.dot(k.astype(jnp.bfloat16), w2k_ref[:],
+                 preferred_element_type=f32) + b2k_ref[0][None, :])
+    v = (jnp.dot(v.astype(jnp.bfloat16), w2v_ref[:],
+                 preferred_element_type=f32) + b2v_ref[0][None, :])
+
+    ew = ew_ref[0].astype(f32)                           # [E, 1]
+    v = v * ew
+
+    # ---- logits: per-head q.k replicated across each head's dh lanes ----
+    qb = jnp.dot(oh_dst, q_ref[0], preferred_element_type=f32)   # [E, D]
+    li = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // dh
+    lj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // dh
+    head_sum = jnp.where(li == lj, 1.0 / np.sqrt(dh), 0.0
+                         ).astype(jnp.bfloat16)          # [D, D]
+    logits = jnp.dot((qb * k).astype(jnp.bfloat16), head_sum,
+                     preferred_element_type=f32)         # [E, D]
+    valid = valid_ref[0].astype(f32)                     # [E, 1]
+    logits = logits + (valid - 1.0) * (-NEG)
+
+    # ---- masked softmax over K (reshape splits leading dim only) ----
+    l3 = logits.reshape(tile_n, k_nb, d)
+    v3m = valid.reshape(tile_n, k_nb, 1)
+    m = jnp.max(l3, axis=1, keepdims=True)
+    p = jnp.exp(l3 - m) * v3m
+    s = jnp.sum(p, axis=1, keepdims=True)
+    alpha = p / jnp.maximum(s, 1e-9)                     # [T, K, D]
+
+    if mode == "x2h":
+        vv = v.reshape(tile_n, k_nb, d)
+        out = jnp.sum(alpha * vv, axis=1)                # [T, D]
+        out_ref[0] = out
+    else:
+        # v: [E, H] head scalars; coeff = mean_h alpha_h * v_h
+        vout = v.shape[1]
+        rep = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 0)
+        tgt = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 1) // dh
+        expand = jnp.where(rep == tgt, 1.0, 0.0).astype(jnp.bfloat16)
+        v128 = jnp.dot(v.astype(jnp.bfloat16), expand,
+                       preferred_element_type=f32)       # [E, D]
+        w = alpha * v128.reshape(tile_n, k_nb, d)
+        coeff = jnp.sum(w, axis=-1, keepdims=True) / (dh * heads)  # [T,K,1]
+        r3 = relx.reshape(tile_n, k_nb, 3)
+        out_ref[0] = jnp.sum(coeff * r3, axis=1)         # [T, 3]
+
+
+def _edge_attn_pre_kernel(tsrc_ref, ef_ref, valid_ref, ew_ref, relx_ref,
+                          q_ref, tdst_ref, we_ref, ln_ref, w2k_ref, b2k_ref,
+                          w2v_ref, b2v_ref, out_ref, *,
+                          mode: str, k_nb: int, heads: int):
+    """Hybrid variant: neighbor projections (t_src = h @ W_src, gathered)
+    and edge features arrive pre-computed from XLA (whose one-hot gather
+    runs at MXU peak); the kernel fuses everything after — the edge Dense,
+    LayerNorm, second Dense, logits, masked softmax and aggregation — so
+    no [E, D] intermediate ever touches HBM."""
+    d = w2k_ref.shape[0]
+    tile_n = q_ref.shape[1]
+    e = tile_n * k_nb
+    dh = d // heads
+    f32 = jnp.float32
+
+    z = tsrc_ref[0].astype(f32)                          # [E, 2D]
+    z = z + jnp.dot(ef_ref[0].astype(jnp.bfloat16), we_ref[:],
+                    preferred_element_type=f32)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (e, tile_n), 0) // k_nb
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (e, tile_n), 1)
+    oh_dst = (rows == cols_t).astype(jnp.bfloat16)       # [E, TILE_N]
+    z = z + jnp.dot(oh_dst, tdst_ref[0], preferred_element_type=f32)
+
+    def layer_norm(x, scale, bias):
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, -1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+
+    zk, zv = z[:, :d], z[:, d:]
+    ln = ln_ref[:].astype(f32)                           # [4, D]
+    k = jnp.maximum(layer_norm(zk, ln[0:1, :], ln[1:2, :]), 0.0)
+    v = jnp.maximum(layer_norm(zv, ln[2:3, :], ln[3:4, :]), 0.0)
+    k = (jnp.dot(k.astype(jnp.bfloat16), w2k_ref[:],
+                 preferred_element_type=f32) + b2k_ref[0][None, :])
+    v = (jnp.dot(v.astype(jnp.bfloat16), w2v_ref[:],
+                 preferred_element_type=f32) + b2v_ref[0][None, :])
+    v = v * ew_ref[0].astype(f32)
+
+    qb = jnp.dot(oh_dst, q_ref[0], preferred_element_type=f32)   # [E, D]
+    li = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // dh
+    lj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // dh
+    head_sum = jnp.where(li == lj, 1.0 / np.sqrt(dh), 0.0
+                         ).astype(jnp.bfloat16)
+    logits = jnp.dot((qb * k).astype(jnp.bfloat16), head_sum,
+                     preferred_element_type=f32)
+    valid = valid_ref[0].astype(f32)
+    logits = logits + (valid - 1.0) * (-NEG)
+
+    l3 = logits.reshape(tile_n, k_nb, d)
+    v3m = valid.reshape(tile_n, k_nb, 1)
+    m = jnp.max(l3, axis=1, keepdims=True)
+    p = jnp.exp(l3 - m) * v3m
+    s = jnp.sum(p, axis=1, keepdims=True)
+    alpha = p / jnp.maximum(s, 1e-9)
+
+    if mode == "x2h":
+        out_ref[0] = jnp.sum(alpha * v.reshape(tile_n, k_nb, d), axis=1)
+    else:
+        vout = v.shape[1]
+        rep = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 0)
+        tgt = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 1) // dh
+        expand = jnp.where(rep == tgt, 1.0, 0.0).astype(jnp.bfloat16)
+        v128 = jnp.dot(v.astype(jnp.bfloat16), expand,
+                       preferred_element_type=f32)
+        w = alpha * v128.reshape(tile_n, k_nb, d)
+        coeff = jnp.sum(w, axis=-1, keepdims=True) / (dh * heads)
+        r3 = relx_ref[0][:, :3].astype(f32).reshape(tile_n, k_nb, 3)
+        out_ref[0] = jnp.sum(coeff * r3, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "tile_n", "heads", "interpret"))
+def edge_attention_pre(t_src, edge_feat, valid, e_w, rel_x, q, t_dst,
+                       weights: Dict[str, jnp.ndarray], mode: str = "x2h",
+                       tile_n: int = 64, heads: int = 16,
+                       interpret: bool = False):
+    """Hybrid fused edge attention over pre-gathered neighbor projections.
+
+    t_src [B,N,K,2D] bf16 (gathered h @ [W_src_k|W_src_v]);
+    edge_feat [B,N,K,84] bf16; valid [B,N,K]; e_w [B,N,K,1];
+    rel_x [B,N,K,3] f32 (h2x only); q [B,N,D]; t_dst [B,N,2D].
+    weights: we [84,2D] ln [4,D] w2k [D,D] b2k [D] w2v [D,VOUT] b2v [VOUT].
+    """
+    b, n = q.shape[0], q.shape[1]
+    d = q.shape[-1]
+    k_nb = valid.shape[-1]
+    r = n * k_nb
+    vout = weights["w2v"].shape[1]
+    ef_dim = edge_feat.shape[-1]
+
+    interpret = interpret or not edge_attn_available()
+    while n % tile_n != 0:
+        tile_n //= 2
+        if tile_n < 1:
+            raise ValueError(f"node count {n} has no power-of-two tiling")
+    e = tile_n * k_nb
+
+    tsrc_f = t_src.reshape(b, r, 2 * d).astype(jnp.bfloat16)
+    ef_f = edge_feat.reshape(b, r, ef_dim).astype(jnp.bfloat16)
+    valid_f = valid.reshape(b, r, 1).astype(jnp.bfloat16)
+    ew_f = e_w.reshape(b, r, 1).astype(jnp.bfloat16)
+    relx_f = rel_x.reshape(b, r, 3).astype(jnp.float32)
+
+    out_d = d if mode == "x2h" else 3
+    grid = (b, n // tile_n)
+
+    def edge_spec(c):
+        return pl.BlockSpec((1, e, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(c):
+        return pl.BlockSpec((1, tile_n, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi, ti: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    w = weights
+    out = pl.pallas_call(
+        functools.partial(_edge_attn_pre_kernel, mode=mode, k_nb=k_nb,
+                          heads=heads),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            edge_spec(2 * d), edge_spec(ef_dim), edge_spec(1), edge_spec(1),
+            edge_spec(3),
+            tile_spec(d), tile_spec(2 * d),
+            w_spec((ef_dim, 2 * d)), w_spec((4, d)),
+            w_spec((d, d)), w_spec((1, d)),
+            w_spec((d, vout)), w_spec((1, vout)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, out_d),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * (ef_dim * 2 * d + d * d + d * vout + 2 * d),
+            bytes_accessed=b * r * (2 * d * 2 + ef_dim * 2 + 20),
+            transcendentals=b * r * d),
+        interpret=interpret,
+    )(tsrc_f, ef_f, valid_f, ew_f, relx_f,
+      q.astype(jnp.float32), t_dst.astype(jnp.float32),
+      w["we"].astype(jnp.bfloat16), w["ln"].astype(jnp.float32),
+      w["w2k"].astype(jnp.bfloat16),
+      w["b2k"].reshape(1, -1).astype(jnp.float32),
+      w["w2v"].astype(jnp.bfloat16),
+      w["b2v"].reshape(1, -1).astype(jnp.float32))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "tile_n", "heads", "eps", "interpret"))
+def edge_attention(payload, idx, valid, edge_attr, e_w, rel_x, q, t_dst,
+                   weights: Dict[str, jnp.ndarray], mode: str = "x2h",
+                   tile_n: int = 64, heads: int = 16, eps: float = 1e-12,
+                   interpret: bool = False):
+    """Fused edge attention.
+
+    payload [B,N,D] bf16; idx/valid [B,N,K]; edge_attr [B,N,K,4];
+    e_w [B,N,K,1] (pass ones if unused); rel_x [B,N,K,3] f32;
+    q [B,N,D]; t_dst [B,N,2D] (node-level Dense outputs + first bias).
+    weights: wea [4,2D] web [80,2D] ws [D,2D] ln [4,2D] w2k [D,D]
+             b2k [D] w2v [D,VOUT] b2v [VOUT].
+    Returns [B,N,D] f32 (x2h) or [B,N,3] f32 (h2x)."""
+    b, n, d = payload.shape
+    k_nb = idx.shape[-1]
+    r = n * k_nb
+    e = tile_n * k_nb
+    vout = weights["w2v"].shape[1]
+
+    interpret = interpret or not edge_attn_available()
+    while n % tile_n != 0:          # largest power-of-two tile dividing N
+        tile_n //= 2
+        if tile_n < 1:
+            raise ValueError(f"node count {n} has no power-of-two tiling")
+    e = tile_n * k_nb
+    idx_f = idx.reshape(b, r, 1).astype(jnp.int32)
+    valid_f = valid.reshape(b, r, 1).astype(jnp.bfloat16)
+    ea_f = edge_attr.reshape(b, r, 4).astype(jnp.bfloat16)
+    ew_f = e_w.reshape(b, r, 1).astype(jnp.bfloat16)
+    relx_f = rel_x.reshape(b, r, 3).astype(jnp.float32)
+
+    out_d = d if mode == "x2h" else 3
+    grid = (b, n // tile_n)
+
+    def edge_spec(c):
+        return pl.BlockSpec((1, e, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def node_spec(nn_, c):
+        return pl.BlockSpec((1, nn_, c), lambda bi, ti: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(c):
+        return pl.BlockSpec((1, tile_n, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi, ti: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    w = weights
+    flops_gather = 2 * b * r * n * d
+    flops_mlp = 2 * b * r * (84 * 2 * d + d * 2 * d + d * d + d * vout)
+    out = pl.pallas_call(
+        functools.partial(_edge_attn_kernel, mode=mode, n_src=n,
+                          k_nb=k_nb, heads=heads, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            node_spec(n, d),                      # payload
+            edge_spec(1), edge_spec(1), edge_spec(4), edge_spec(1),
+            edge_spec(3),
+            tile_spec(d), tile_spec(2 * d),
+            w_spec((1, 20)),
+            w_spec((4, 2 * d)), w_spec((80, 2 * d)), w_spec((d, 2 * d)),
+            w_spec((4, d)), w_spec((d, d)), w_spec((1, d)),
+            w_spec((d, vout)), w_spec((1, vout)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, out_d),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_gather + flops_mlp,
+            bytes_accessed=b * (n * d * 2 + r * (4 + 9 * 2) + n * 3 * d * 2),
+            transcendentals=b * r * 21),
+        interpret=interpret,
+    )(payload.astype(jnp.bfloat16), idx_f, valid_f, ea_f, ew_f, relx_f,
+      q.astype(jnp.float32), t_dst.astype(jnp.float32),
+      jnp.asarray(np.asarray(FIXED_OFFSETS), jnp.float32).reshape(1, 20),
+      w["wea"].astype(jnp.bfloat16), w["web"].astype(jnp.bfloat16),
+      w["ws"].astype(jnp.bfloat16), w["ln"].astype(jnp.float32),
+      w["w2k"].astype(jnp.bfloat16), w["b2k"].reshape(1, -1).astype(
+          jnp.float32),
+      w["w2v"].astype(jnp.bfloat16), w["b2v"].reshape(1, -1).astype(
+          jnp.float32),
+      )
+    return out
+
+
+def edge_attn_available() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False

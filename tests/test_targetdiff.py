@@ -51,17 +51,29 @@ def test_context_atoms_never_move(setup):
 
 
 def test_train_step_overfits(setup):
+    """Training must reduce the loss at FIXED timesteps (the raw per-step
+    loss mixes random t's whose scales differ by orders of magnitude, so
+    comparing first-vs-last raw steps is noise, not signal)."""
     model, batch, params = setup
     tx = get_optimizer({"type": "adam", "lr": 1e-3}, max_grad_norm=8.0)
     state = TrainState.create(params, tx)
     step = make_train_step(model, tx, donate=False)
     rng = jax.random.PRNGKey(2)
+    t_fix = jnp.array([5, 10])
+    k_fix = jax.random.PRNGKey(7)
+
+    def eval_loss(params):
+        ld, _ = model.apply(params, batch, t_fix, k_fix)
+        return float(model.weighted_loss(ld))
+
+    before = eval_loss(state.params)
     losses = []
-    for i in range(30):
+    for i in range(40):
         state, metrics = step(state, batch, rng)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
-    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    after = eval_loss(state.params)
+    assert after < before, (before, after)
 
 
 def test_sampling_scan(setup):
