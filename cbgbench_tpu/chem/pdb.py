@@ -40,19 +40,10 @@ class PocketResidues:
     chain_nb: np.ndarray       # [R]
 
 
-def parse_pdb_pocket(path_or_text: str):
-    """Parse a pocket PDB -> (PocketAtoms, PocketResidues).
-
-    Heavy atoms only (hydrogens skipped like the reference featurizer);
-    altloc A preferred; unknown residues typed AA.UNK.
-    """
-    if "\n" in path_or_text:
-        text = path_or_text
-    else:
-        with open(path_or_text) as f:
-            text = f.read()
-
-    atoms = []          # (element_z, pos, name, resname, chain, resseq, icode)
+def _scan_pdb_python(text: str):
+    """Pure-python column scan -> (z, pos, name, resname, chain, resseq,
+    icode) tuples (fallback for the native fast path)."""
+    atoms = []
     for line in text.split("\n"):
         if not (line.startswith("ATOM") or line.startswith("HETATM")):
             continue
@@ -76,6 +67,97 @@ def parse_pdb_pocket(path_or_text: str):
         if z in (0, 1):   # skip hydrogens/unknowns
             continue
         atoms.append((z, pos, name, resname, chain, resseq, icode))
+    return atoms
+
+
+_SLOT_CACHE: Dict[tuple, int] = {}
+
+
+def _slot_of(aa: int, name: str) -> int:
+    """Heavy-atom slot of (residue class, atom name); -1 if none."""
+    if not _SLOT_CACHE:
+        for aa_k, heavy in RESTYPE_TO_HEAVYATOM_NAMES.items():
+            for s, nm in enumerate(heavy):
+                if nm:
+                    _SLOT_CACHE[(int(aa_k), nm)] = s
+        _SLOT_CACHE[(-1, "")] = -1
+    return _SLOT_CACHE.get((aa, name), -1)
+
+
+def _assemble_native(cols):
+    """Vectorized assembly from native parser columns (same outputs as the
+    tuple path; the per-atom python loop is the old bottleneck)."""
+    keep = np.isin(cols["z"], sorted(set(_ELEMENT_Z.values()) - {1}))
+    if not keep.all():
+        idx = np.flatnonzero(keep)
+        for k in ("z", "pos", "is_backbone", "res_id", "resseq"):
+            cols[k] = cols[k][idx]
+        cols["names"] = [cols["names"][i] for i in idx]
+        cols["resnames"] = [cols["resnames"][i] for i in idx]
+        cols["chains"] = [cols["chains"][i] for i in idx]
+        # re-densify residue ordinals
+        _, cols["res_id"] = np.unique(cols["res_id"], return_inverse=True)
+    order = np.argsort(cols["res_id"], kind="stable")
+    el = cols["z"][order].astype(int)
+    pos = cols["pos"][order]
+    bb = cols["is_backbone"][order]
+    rid = cols["res_id"][order]
+    names = [cols["names"][i] for i in order]
+    n_res = int(rid[-1]) + 1 if len(rid) else 0
+    starts = np.searchsorted(rid, np.arange(n_res))
+    res_aa = np.zeros(n_res, int)
+    res_nb = np.zeros(n_res, int)
+    chain_nb = np.zeros(n_res, int)
+    chain_index: Dict[str, int] = {}
+    for r in range(n_res):
+        i0 = int(starts[r])
+        res_aa[r] = int(AA.from_str(cols["resnames"][int(order[i0])]))
+        res_nb[r] = int(cols["resseq"][int(order[i0])])
+        ch = cols["chains"][int(order[i0])]
+        chain_nb[r] = chain_index.setdefault(ch, len(chain_index))
+    aatype = res_aa[rid]
+    ph = np.zeros((n_res, MAX_NUM_HEAVYATOMS, 3))
+    pm = np.zeros((n_res, MAX_NUM_HEAVYATOMS), bool)
+    for i in range(len(el)):
+        s = _slot_of(int(aatype[i]), names[i])
+        if s >= 0:
+            ph[rid[i], s] = pos[i]
+            pm[rid[i], s] = True
+    atoms_out = PocketAtoms(
+        element=el,
+        element_index=np.asarray([_POCKET_Z_INDEX.get(int(z), 1)
+                                  for z in el]),
+        pos=np.asarray(pos, float), is_backbone=np.asarray(bb, bool),
+        atom_to_aa_type=aatype.astype(int), atom_name=names,
+        res_id=rid.astype(int))
+    residues_out = PocketResidues(
+        aa=res_aa, pos_heavyatom=ph, mask_heavyatom=pm,
+        res_nb=res_nb, chain_nb=chain_nb)
+    return atoms_out, residues_out
+
+
+def parse_pdb_pocket(path_or_text: str):
+    """Parse a pocket PDB -> (PocketAtoms, PocketResidues).
+
+    Heavy atoms only (hydrogens skipped like the reference featurizer);
+    altloc A preferred; unknown residues typed AA.UNK. Uses the native C++
+    scanner + vectorized assembly when the toolchain is available."""
+    if "\n" in path_or_text:
+        text = path_or_text
+    else:
+        with open(path_or_text) as f:
+            text = f.read()
+
+    try:
+        from .. import native
+        cols = (native.parse_pdb_atoms(text) if native.available()
+                else None)
+    except Exception:
+        cols = None
+    if cols is not None:
+        return _assemble_native(cols)
+
+    atoms = _scan_pdb_python(text)
 
     # group into residues, keep insertion order
     res_order = []

@@ -95,6 +95,9 @@ class DiffBP(nn.Module):
     time_sampler: str = "symmetric"
     emb_dim: int = 128
     time_kind: Optional[str] = None
+    # compute precision + denoiser implementation (see TargetDiff)
+    bf16: bool = False
+    impl: str = "xla"
     num_layers: int = 9
     num_layers_com: int = 3
     n_heads: int = 16
@@ -146,7 +149,8 @@ class DiffBP(nn.Module):
         self.denoiser = UniTransformer(
             num_classes=self.num_classes, num_layers=self.num_layers,
             hidden_dim=self.emb_dim, n_heads=self.n_heads, k=self.k,
-            r_max=self.r_max)
+            r_max=self.r_max,
+            dtype=jnp.bfloat16 if self.bf16 else None, impl=self.impl)
         self.com_head = CoMPredictor(hidden_dim=self.emb_dim,
                                      n_heads=self.n_heads,
                                      num_layers=self.num_layers_com,
@@ -261,9 +265,12 @@ def _sample_chunk(model: DiffBP, params, batch, carry, t_hi, n_steps):
     return carry
 
 
-def sample_diffbp(model: DiffBP, params, batch, rng, chunk_size: int = 100):
+def sample_diffbp(model: DiffBP, params, batch, rng, chunk_size: int = 100,
+                  impl: str = "auto"):
     """Absorbing-type prior: all generated types start at the absorbing
     class (reference config assign_atomtype distribution=absorbing)."""
+    from .targetdiff import _resolve_impl
+    model = _resolve_impl(model, impl)
     lig = batch.ligand
     c_in = jax.nn.one_hot(lig.atype, model.num_classes)
     carry = (lig.pos, c_in, rng)

@@ -39,6 +39,9 @@ class DiffSBDD(nn.Module):
     time_sampler: str = "symmetric"
     emb_dim: int = 128
     time_kind: Optional[str] = None
+    # compute precision + denoiser implementation (see TargetDiff)
+    bf16: bool = False
+    impl: str = "xla"
     num_layers: int = 9
     n_heads: int = 16
     k: int = 32
@@ -80,7 +83,8 @@ class DiffSBDD(nn.Module):
         self.denoiser = UniTransformer(
             num_classes=self.num_classes, num_layers=self.num_layers,
             hidden_dim=self.emb_dim, n_heads=self.n_heads, k=self.k,
-            r_max=self.r_max)
+            r_max=self.r_max,
+            dtype=jnp.bfloat16 if self.bf16 else None, impl=self.impl)
 
     def denoise(self, x_lig, c_lig, x_rec, batch, t):
         """x_rec passed explicitly: the CoM-free projection moves it."""
@@ -207,10 +211,12 @@ def _sample_chunk(model: DiffSBDD, params, batch, carry, t_hi, n_steps):
 
 
 def sample_diffsbdd(model: DiffSBDD, params, batch, rng,
-                    chunk_size: int = 100):
+                    chunk_size: int = 100, impl: str = "auto"):
     """Prior: positions ~ N(pocket-CoM, I) projected CoM-free; types ~
     N(0, I) in the /4-normalized one-hot space
     (reference: diffsbdd.py:240-267). Returns unnormalized types' argmax."""
+    from .targetdiff import _resolve_impl
+    model = _resolve_impl(model, impl)
     lig, rec = batch.ligand, batch.protein
     gen = lig.gen_flag & lig.mask
     k1, k2, rng = jax.random.split(rng, 3)

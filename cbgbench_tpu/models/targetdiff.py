@@ -220,8 +220,20 @@ def _sample_chunk(model: TargetDiff, params, batch, carry, t_hi, n_steps):
     return carry
 
 
+
+def _resolve_impl(model, impl):
+    """'auto' -> fused Pallas kernels on TPU backends, XLA elsewhere;
+    returns a (possibly cloned) model whose denoiser uses that impl."""
+    if impl == "auto":
+        from ..ops.pallas_edge_attn import edge_attn_available
+        impl = "pallas_pre" if edge_attn_available() else model.impl
+    if impl and impl != model.impl:
+        model = model.clone(impl=impl)
+    return model
+
+
 def sample_targetdiff(model: TargetDiff, params, batch, rng,
-                      chunk_size: int = 100):
+                      chunk_size: int = 100, impl: str = "auto"):
     """Full reverse diffusion, host-chunked.
 
     Starts from the prior already placed in batch.ligand (pos ~ pocket
@@ -229,6 +241,7 @@ def sample_targetdiff(model: TargetDiff, params, batch, rng,
     one fused lax.scan program (reused across chunks); the trajectory stays
     on device — the reference's per-step Python loop with CPU offload
     (targetdiff.py:181) is the throughput bottleneck this replaces."""
+    model = _resolve_impl(model, impl)
     lig = batch.ligand
     c_in = jax.nn.one_hot(lig.atype, model.num_classes)
     carry = (lig.pos, c_in, rng)
