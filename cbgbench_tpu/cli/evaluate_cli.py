@@ -48,17 +48,92 @@ def _vina_all_modes(mol, protein_pdb, center):
     return out
 
 
-def evaluate_folder(result_root: str, num_samples: int = 200,
-                    protein_lookup=None, run_vina: bool = False) -> dict:
+def _evaluate_pocket(args) -> dict:
+    """Per-pocket evaluation (module-level so multiprocessing can fan out
+    like the reference's evaluate_*_folder.py subprocess pools)."""
+    pd, protein_pdb, ref_sdf, vina_ready = args
+    from ..chem.pdb import parse_pdb_pocket
     from ..chem.sdf import read_sdf
-    from ..tools.geometry import (analyze_stability, eval_bond_angle_jsd,
-                                  eval_bond_length_jsd, eval_pair_length_jsd,
-                                  eval_steric_clash)
+    from ..tools.geometry import eval_steric_clash
     from ..tools.interaction import INTERACTION_TYPES, analyze_interactions
     from ..tools.scoring import get_chem
+
+    out = {"mols": [], "chem": [], "clash": [],
+           "inter_counts": defaultdict(list),
+           "pocket_gen_counts": np.zeros(len(INTERACTION_TYPES)),
+           "pocket_n": 0, "ref_inter": None,
+           "vina_rows": defaultdict(list), "vina_imp": defaultdict(list),
+           "vina_delta": defaultdict(list), "vina_ligeff": []}
+    sdfs = sorted(glob.glob(os.path.join(pd, "*.sdf")))
+    p_atoms = None
+    if protein_pdb and os.path.exists(protein_pdb):
+        p_atoms, _ = parse_pdb_pocket(protein_pdb)
+    ref_mol = None
+    if ref_sdf and os.path.exists(ref_sdf):
+        refs = read_sdf(ref_sdf)
+        ref_mol = refs[0] if refs else None
+    ref_vina = {}
+    if ref_mol is not None and p_atoms is not None:
+        try:
+            out["ref_inter"] = analyze_interactions(
+                ref_mol, protein_pdb=protein_pdb, protein_pos=p_atoms.pos,
+                protein_elements=p_atoms.element, atoms=p_atoms)
+        except Exception:
+            out["ref_inter"] = None
+        if vina_ready:
+            ref_vina = _vina_all_modes(ref_mol, protein_pdb,
+                                       ref_mol.pos.mean(0).tolist())
+    for f in sdfs:
+        mols = read_sdf(f)
+        if not mols:
+            continue
+        mol = mols[0]
+        out["mols"].append(mol)
+        try:
+            out["chem"].append(get_chem(mol))
+        except Exception:
+            pass
+        if vina_ready and protein_pdb:
+            vr = _vina_all_modes(mol, protein_pdb, mol.pos.mean(0).tolist())
+            for mode, aff in vr.items():
+                if aff is None:
+                    continue
+                out["vina_rows"][mode].append(aff)
+                raff = ref_vina.get(mode)
+                # improvement only defined for negative reference
+                # affinities (reference: cal_chem_results.py:55-60)
+                if raff is not None and raff < 0:
+                    out["vina_imp"][mode].append((aff - raff) / raff)
+                    out["vina_delta"][mode].append(float(aff < raff))
+                if mode == "dock":
+                    out["vina_ligeff"].append(aff / max(mol.num_atoms, 1))
+        if p_atoms is not None:
+            try:
+                clash, info = eval_steric_clash(mol, p_atoms.pos,
+                                                p_atoms.element)
+                out["clash"].append(info)
+                ic = analyze_interactions(mol, protein_pdb=protein_pdb,
+                                          protein_pos=p_atoms.pos,
+                                          protein_elements=p_atoms.element,
+                                          atoms=p_atoms)
+                for k, v in ic.items():
+                    out["inter_counts"][k].append(v)
+                out["pocket_gen_counts"] += _interaction_dist(
+                    ic, INTERACTION_TYPES)
+                out["pocket_n"] += 1
+            except Exception:
+                pass
+    return out
+
+
+def evaluate_folder(result_root: str, num_samples: int = 200,
+                    protein_lookup=None, run_vina: bool = False,
+                    workers: int = 0) -> dict:
+    from ..tools.geometry import (analyze_stability, eval_bond_angle_jsd,
+                                  eval_bond_length_jsd, eval_pair_length_jsd)
+    from ..tools.interaction import INTERACTION_TYPES
     from ..tools.substructure import (eval_atom_num, eval_atom_type,
                                       eval_fg_type, eval_ring_type)
-    from ..chem.pdb import parse_pdb_pocket
 
     if run_vina:
         from ..tools.docking import available
@@ -69,6 +144,27 @@ def evaluate_folder(result_root: str, num_samples: int = 200,
 
     pocket_dirs = sorted(d for d in glob.glob(os.path.join(result_root, "*"))
                          if os.path.isdir(d))
+    jobs = []
+    for pd in pocket_dirs:
+        protein_pdb = ref_sdf = None
+        if protein_lookup is not None:
+            looked = protein_lookup(os.path.basename(pd))
+            if isinstance(looked, tuple):
+                protein_pdb, ref_sdf = looked
+            else:
+                protein_pdb = looked
+        jobs.append((pd, protein_pdb, ref_sdf, vina_ready))
+
+    if workers and workers > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+        # fork: the per-pocket worker is numpy/scipy-only (no jax device
+        # state), and spawn would re-import the caller's __main__
+        ctx = mp.get_context("fork" if os.name == "posix" else "spawn")
+        with ctx.Pool(workers) as pool:
+            pocket_results = pool.map(_evaluate_pocket, jobs)
+    else:
+        pocket_results = [_evaluate_pocket(j) for j in jobs]
+
     all_mols = []
     chem_rows = []
     clash_rows = []
@@ -81,95 +177,34 @@ def evaluate_folder(result_root: str, num_samples: int = 200,
     vina_imp = defaultdict(list)       # mode -> (gen - ref)/ref
     vina_delta = defaultdict(list)     # mode -> gen < ref indicator
     vina_ligeff = []
-    n_total_slots = 0
-    for pd in pocket_dirs:
-        sdfs = sorted(glob.glob(os.path.join(pd, "*.sdf")))
-        n_total_slots += num_samples
-        protein_pdb = ref_sdf = None
-        if protein_lookup is not None:
-            looked = protein_lookup(os.path.basename(pd))
-            if isinstance(looked, tuple):
-                protein_pdb, ref_sdf = looked
-            else:
-                protein_pdb = looked
-        p_atoms = None
-        if protein_pdb and os.path.exists(protein_pdb):
-            p_atoms, _ = parse_pdb_pocket(protein_pdb)
-        ref_mol = None
-        if ref_sdf and os.path.exists(ref_sdf):
-            refs = read_sdf(ref_sdf)
-            ref_mol = refs[0] if refs else None
-        ref_inter = None
-        ref_vina = {}
-        if ref_mol is not None and p_atoms is not None:
-            try:
-                ref_inter = analyze_interactions(
-                    ref_mol, protein_pdb=protein_pdb, protein_pos=p_atoms.pos,
-                    protein_elements=p_atoms.element, atoms=p_atoms)
-            except Exception:
-                ref_inter = None
-            if vina_ready:
-                ref_vina = _vina_all_modes(ref_mol, protein_pdb,
-                                           ref_mol.pos.mean(0).tolist())
-
-        pocket_gen_counts = np.zeros(len(INTERACTION_TYPES))
-        pocket_n = 0
-        for f in sdfs:
-            mols = read_sdf(f)
-            if not mols:
-                continue
-            mol = mols[0]
-            all_mols.append(mol)
-            try:
-                chem_rows.append(get_chem(mol))
-            except Exception:
-                pass
-            if vina_ready and protein_pdb:
-                vr = _vina_all_modes(mol, protein_pdb,
-                                     mol.pos.mean(0).tolist())
-                for mode, aff in vr.items():
-                    if aff is None:
-                        continue
-                    vina_rows[mode].append(aff)
-                    raff = ref_vina.get(mode)
-                    # improvement only defined for negative reference
-                    # affinities (reference: cal_chem_results.py:55-60)
-                    if raff is not None and raff < 0:
-                        vina_imp[mode].append((aff - raff) / raff)
-                        vina_delta[mode].append(float(aff < raff))
-                    if mode == "dock":
-                        vina_ligeff.append(aff / max(mol.num_atoms, 1))
-            if p_atoms is not None:
-                try:
-                    clash, info = eval_steric_clash(mol, p_atoms.pos,
-                                                    p_atoms.element)
-                    clash_rows.append(info)
-                    ic = analyze_interactions(mol, protein_pdb=protein_pdb,
-                                              protein_pos=p_atoms.pos,
-                                              protein_elements=p_atoms.element,
-                                              atoms=p_atoms)
-                    for k, v in ic.items():
-                        inter_counts[k].append(v)
-                    pocket_gen_counts += _interaction_dist(ic,
-                                                           INTERACTION_TYPES)
-                    pocket_n += 1
-                except Exception:
-                    pass
+    n_total_slots = num_samples * len(pocket_dirs)
+    for res in pocket_results:
+        all_mols.extend(res["mols"])
+        chem_rows.extend(res["chem"])
+        clash_rows.extend(res["clash"])
+        for k, v in res["inter_counts"].items():
+            inter_counts[k].extend(v)
+        for agg, key in ((vina_rows, "vina_rows"), (vina_imp, "vina_imp"),
+                         (vina_delta, "vina_delta")):
+            for mode, vals in res[key].items():
+                agg[mode].extend(vals)
+        vina_ligeff.extend(res["vina_ligeff"])
         # per-pocket interaction JSD/MAE vs the reference ligand
         # (reference: cal_intera_results.py:26-47)
-        if ref_inter is not None and pocket_n > 0:
+        if res["ref_inter"] is not None and res["pocket_n"] > 0:
             from scipy.spatial.distance import jensenshannon
-            ref_vec = _interaction_dist(ref_inter, INTERACTION_TYPES)
+            ref_vec = _interaction_dist(res["ref_inter"], INTERACTION_TYPES)
+            pocket_gen_counts = res["pocket_gen_counts"]
             gen_dist = pocket_gen_counts / max(pocket_gen_counts.sum(), 1e-12)
             ref_dist = ref_vec / max(ref_vec.sum(), 1e-12)
             jsd = float(jensenshannon(ref_dist, gen_dist))
             if np.isfinite(jsd):
                 inter_jsds.append(jsd)
                 inter_maes.append(float(np.abs(
-                    ref_vec - pocket_gen_counts / pocket_n).mean()))
+                    ref_vec - pocket_gen_counts / res["pocket_n"]).mean()))
                 inter_gen_total += pocket_gen_counts
                 inter_ref_total += ref_vec
-                n_inter_gen += pocket_n
+                n_inter_gen += res["pocket_n"]
                 n_inter_pockets += 1
 
     report = {"n_molecules": len(all_mols),
@@ -252,13 +287,17 @@ def main(argv=None):
     p.add_argument("--vina", action="store_true",
                    help="run Vina score_only/minimize/dock when the "
                         "toolchain (vina+meeko+obabel) is installed")
+    p.add_argument("--workers", type=int, default=0,
+                   help="per-pocket multiprocessing fan-out (reference: "
+                        "evaluate_*_folder.py pools)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
     protein_lookup = (build_protein_lookup(args.protein_root)
                       if args.protein_root else None)
     report = evaluate_folder(args.result_root, args.num_samples,
-                             protein_lookup, run_vina=args.vina)
+                             protein_lookup, run_vina=args.vina,
+                             workers=args.workers)
     out = args.out or os.path.join(args.result_root, "metrics.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1, default=float)

@@ -15,16 +15,25 @@ import time
 
 
 def build_dataset(data_cfg, mode: str):
-    from ..data.dataset import RawPairDataset, example_pairs, scan_pair_dir
+    from ..data.dataset import (CrossDockedShards, RawPairDataset,
+                                example_pairs, scan_pair_dir)
     from ..data.transforms import compose
 
     raw_path = data_cfg.get("raw_path", "assets/examples")
+    transform = compose([dict(t) for t in data_cfg.get("transform", [])
+                         if t["type"] in _SUPPORTED_TRANSFORMS])
+    if os.path.isfile(os.path.join(raw_path, "index.json")):
+        # a processed shard cache (scripts/build_shard_cache.py) — the
+        # lmdb/torch-free stand-in for the reference's LMDB protocol
+        ds = CrossDockedShards(raw_path, split_path=data_cfg.get("split"),
+                               split=data_cfg.get("split_name", "train"),
+                               transform=transform, mode=mode)
+        ds.pairs = [(n, n) for n in ds.names]    # name lookups (sample CLI)
+        return ds
     if os.path.isdir(raw_path):
         pairs = scan_pair_dir(raw_path)
     else:
         pairs = example_pairs()
-    transform = compose([dict(t) for t in data_cfg.get("transform", [])
-                         if t["type"] in _SUPPORTED_TRANSFORMS])
     return RawPairDataset(pairs, transform=transform, mode=mode,
                           pocket_radius=data_cfg.get("pocket_radius", 0.0))
 
@@ -122,6 +131,11 @@ def main(argv=None):
     p.add_argument("--max_iters", type=int, default=None)
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--resume", default=None)
+    p.add_argument("--finetune", action="store_true",
+                   help="with --resume (or a config `resume:` key): load "
+                        "model params only — fresh optimizer/scheduler/"
+                        "iteration (reference: train.py:64,165 — decomp "
+                        "tasks finetune from the denovo checkpoint)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of a few post-compile "
                         "train steps to DIR")
@@ -222,11 +236,18 @@ def main(argv=None):
         min_lr=train_cfg.get("scheduler", {}).get("min_lr", 1e-6))
 
     start_it = 0
-    if args.resume:
-        state, meta = load_checkpoint(args.resume, state)
-        start_it = meta["iteration"]
-        plateau.load_state_dict(meta.get("plateau") or plateau.state_dict())
-        log.info("resumed from %s at iter %d", args.resume, start_it)
+    resume_path = args.resume or cfg.get("resume")
+    if resume_path:
+        loaded, meta = load_checkpoint(resume_path, state)
+        if args.finetune:
+            state = state.replace(params=loaded.params)
+            log.info("finetuning from %s (params only, iter 0)", resume_path)
+        else:
+            state = loaded
+            start_it = meta["iteration"]
+            plateau.load_state_dict(meta.get("plateau")
+                                    or plateau.state_dict())
+            log.info("resumed from %s at iter %d", resume_path, start_it)
 
     step_fn = make_train_step(model, tx)
     eval_fn = make_eval_step(model, cfg.get("eval", {}).get("eval_interval", 10))

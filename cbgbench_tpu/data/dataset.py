@@ -235,28 +235,120 @@ class CrossDockedLMDB:
     def get(self, i: int, rng: np.random.Generator) -> dict:
         with self.env.begin() as txn:
             raw = self._pickle.loads(txn.get(self.keys[i]))
-        # reference pickles {'protein': {...}, 'ligand': {...}} dicts with
-        # torch tensors; normalize to numpy
-        def np_(v):
-            return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-        sample = {
-            "protein": {
-                "pos": np_(raw["protein"]["pos"]).astype(np.float32),
-                "element": np_(raw["protein"].get(
-                    "element_index", raw["protein"].get("element"))),
-                "is_backbone": np_(raw["protein"]["is_backbone"]).astype(bool),
-                "aa": np_(raw["protein"]["atom_to_aa_type"]).astype(np.int32),
-            },
-            "ligand": {
-                "pos": np_(raw["ligand"]["pos"]).astype(np.float32),
-                "atype": np_(raw["ligand"].get(
-                    "atom_type", raw["ligand"].get("atype"))).astype(np.int32),
-                "bond_index": np_(raw["ligand"].get("bond_index",
-                                                    np.zeros((2, 0), int))),
-                "bond_type": np_(raw["ligand"].get("bond_type",
-                                                   np.zeros(0, int))),
-            },
-        }
+        sample = normalize_reference_sample(raw, self.mode)
+        if self.transform is not None:
+            sample = self.transform(sample, rng)
+        return sample
+
+
+def normalize_reference_sample(raw: dict, mode: str = "add_aromatic") -> dict:
+    """Reference caches pickle {'protein': {...}, 'ligand': {...}} dicts
+    with torch tensors holding raw atomic numbers (reference:
+    repo/datasets/pl.py:58-71); normalize field names + dtypes AND apply
+    the mode featurization the reference does in its featurize transforms
+    (repo/datasets/transforms.py FeaturizeLigandAtom), yielding the numpy
+    per-sample schema RawPairDataset produces at parse time."""
+    from ..chem.pdb import _POCKET_Z_INDEX
+    from ..constants.molecule import (MAP_ATOM_TYPE_AROMATIC_TO_INDEX,
+                                      MAP_ATOM_TYPE_ONLY_TO_INDEX)
+
+    def np_(v):
+        return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+
+    # reference schema stores atomic numbers; ours stores table indices
+    p_el = np_(raw["protein"]["element"])
+    p_el = np.asarray([_POCKET_Z_INDEX.get(int(z), 1) for z in p_el])
+
+    lig = raw["ligand"]
+    z_arr = np_(lig["element"] if "element" in lig
+                else lig["atom_type"]).astype(np.int32)
+    arom = np_(lig.get("aromatic",
+                       lig.get("atom_aromatic",
+                               np.zeros(len(z_arr), bool)))).astype(bool)
+    atype = np.zeros(len(z_arr), np.int32)
+    for i, z in enumerate(z_arr):
+        if mode == "basic":
+            atype[i] = MAP_ATOM_TYPE_ONLY_TO_INDEX.get(int(z), 1)
+        else:
+            key = (int(z), bool(arom[i]))
+            if key not in MAP_ATOM_TYPE_AROMATIC_TO_INDEX:
+                key = (int(z), False)
+            atype[i] = MAP_ATOM_TYPE_AROMATIC_TO_INDEX.get(key, 1)
+    return {
+        "protein": {
+            "pos": np_(raw["protein"]["pos"]).astype(np.float32),
+            "element": p_el.astype(np.int32),
+            "is_backbone": np_(raw["protein"]["is_backbone"]).astype(bool),
+            "aa": np_(raw["protein"]["atom_to_aa_type"]).astype(np.int32),
+        },
+        "ligand": {
+            "pos": np_(lig["pos"]).astype(np.float32),
+            "atype": atype,
+            "bond_index": np_(lig.get("bond_index", np.zeros((2, 0), int))),
+            "bond_type": np_(lig.get("bond_type", np.zeros(0, int))),
+        },
+    }
+
+
+class CrossDockedShards:
+    """LMDB-free processed cache: pickle shards + an index.json written by
+    scripts/build_shard_cache.py (from either the reference LMDB cache or a
+    raw pocket10 tree). Serves the same per-sample dicts as CrossDockedLMDB
+    with zero non-stdlib dependencies at train time — the TPU-host answer
+    to the reference's lmdb+torch cache (repo/datasets/pl.py:38-87).
+
+    Layout: root/index.json {"names": [...], "shards": ["shard_00000.pkl",
+    ...], "shard_of": {name: shard_idx}}; each shard pickles {name: raw
+    sample dict}. Shards are loaded lazily and LRU-cached (2)."""
+
+    def __init__(self, root: str, split_path: Optional[str] = None,
+                 split: str = "train", transform: Optional[Callable] = None,
+                 mode: str = "add_aromatic"):
+        import json
+        self.root = root
+        with open(os.path.join(root, "index.json")) as f:
+            index = json.load(f)
+        self.shards = index["shards"]
+        self.shard_of = index["shard_of"]
+        self.names = list(index["names"])
+        # 'reference': lmdb-converted atomic-number schema, featurized at
+        # load; 'native': RawPairDataset samples pre-featurized at build
+        self.schema = index.get("schema", "reference")
+        if self.schema == "native" and index.get("mode", mode) != mode:
+            raise ValueError(
+                f"shard cache was built with mode={index['mode']!r} but "
+                f"mode={mode!r} was requested; rebuild with "
+                f"scripts/build_shard_cache.py")
+        if split_path:
+            split_map = load_torch_pickle(split_path)
+            wanted = set(n for pair in split_map[split] for n in pair)
+            kept = [n for n in self.names if n in wanted]
+            self.names = kept or self.names
+        self.transform = transform
+        self.mode = mode
+        self._cache: "dict[int, dict]" = {}
+
+    def __len__(self):
+        return len(self.names)
+
+    def _shard(self, si: int) -> dict:
+        if si not in self._cache:
+            import pickle
+            with open(os.path.join(self.root, self.shards[si]), "rb") as f:
+                self._cache[si] = pickle.load(f)
+            while len(self._cache) > 2:          # LRU-2: drop oldest
+                self._cache.pop(next(iter(self._cache)))
+        return self._cache[si]
+
+    def get(self, i: int, rng: np.random.Generator) -> dict:
+        import copy
+        name = self.names[i]
+        raw = self._shard(self.shard_of[name])[name]
+        if self.schema == "native":
+            sample = copy.deepcopy(raw)
+        else:
+            sample = normalize_reference_sample(raw, self.mode)
+        sample["name"] = name
         if self.transform is not None:
             sample = self.transform(sample, rng)
         return sample

@@ -23,9 +23,12 @@ def save_checkpoint(ckpt_dir: str, step: int, state, config: dict,
                     avg_val_loss: Optional[float] = None) -> str:
     path = os.path.abspath(os.path.join(ckpt_dir, str(step)))
     os.makedirs(ckpt_dir, exist_ok=True)
+    state_dir = os.path.join(path, "state")
+    if os.path.exists(state_dir):       # idempotent re-save of a step
+        import shutil
+        shutil.rmtree(state_dir)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "state"),
-                   jax.tree.map(np.asarray, state))
+        ckptr.save(state_dir, jax.tree.map(np.asarray, state))
     meta = {"config": config, "iteration": int(step),
             "plateau": plateau_state or {},
             "avg_val_loss": avg_val_loss}
@@ -46,6 +49,7 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 def load_checkpoint(path: str, target_state=None) -> Tuple[Any, dict]:
     """path: a specific step dir or a ckpt_dir (takes latest).
     Returns (state, meta)."""
+    path = os.path.abspath(path)    # orbax/tensorstore requires absolute
     if not os.path.basename(path).isdigit():
         found = latest_checkpoint(path)
         if found is None:

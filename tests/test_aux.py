@@ -88,3 +88,110 @@ def test_crossdocked_lmdb_synthetic(tmp_path):
     assert len(ds) == 1
     out = ds.get(0, np.random.default_rng(0))
     assert out["ligand"]["pos"].shape == (3, 3)
+
+
+def test_shard_cache_native_roundtrip(tmp_path):
+    """build_shard_cache --raw -> CrossDockedShards serves samples identical
+    to RawPairDataset (lmdb/torch-free protocol cache)."""
+    import sys
+    sys.path.insert(0, "scripts")
+    from build_shard_cache import main as build_main
+    from cbgbench_tpu.data.dataset import (CrossDockedShards, RawPairDataset,
+                                           example_pairs)
+    out = str(tmp_path / "cache")
+    build_main(["--raw", "assets/examples", "--out", out, "--shard_size", "2"])
+    ds = CrossDockedShards(out, mode="add_aromatic")
+    raw = RawPairDataset(example_pairs(), mode="add_aromatic",
+                         pocket_radius=10.0)
+    assert len(ds) == len(raw)
+    rng = np.random.default_rng(0)
+    by_name = {raw.get(i, rng)["name"]: raw.get(i, rng)
+               for i in range(len(raw))}
+    for i in range(len(ds)):
+        s = ds.get(i, rng)
+        r = by_name[s["name"]]
+        np.testing.assert_allclose(s["ligand"]["pos"], r["ligand"]["pos"])
+        np.testing.assert_array_equal(s["ligand"]["atype"],
+                                      r["ligand"]["atype"])
+        np.testing.assert_allclose(s["protein"]["pos"], r["protein"]["pos"])
+    # mode mismatch must be refused, not silently served
+    import pytest
+    with pytest.raises(ValueError):
+        CrossDockedShards(out, mode="basic")
+
+
+def test_shard_cache_reference_schema(tmp_path):
+    """Reference-schema shards (atomic numbers) featurize at load time."""
+    import json
+    import pickle
+    from cbgbench_tpu.data.dataset import CrossDockedShards
+    root = tmp_path / "cache"
+    root.mkdir()
+    sample = {"protein": {"pos": np.zeros((4, 3), np.float32),
+                          "element": np.array([6, 6, 7, 8]),
+                          "is_backbone": np.zeros(4, bool),
+                          "atom_to_aa_type": np.zeros(4, np.int64)},
+              "ligand": {"pos": np.zeros((3, 3), np.float32),
+                         "element": np.array([6, 7, 8]),
+                         "aromatic": np.array([True, False, False]),
+                         "bond_index": np.zeros((2, 0), int),
+                         "bond_type": np.zeros(0, int)}}
+    with open(root / "shard_00000.pkl", "wb") as f:
+        pickle.dump({"mol0": sample}, f)
+    with open(root / "index.json", "w") as f:
+        json.dump({"names": ["mol0"], "shards": ["shard_00000.pkl"],
+                   "shard_of": {"mol0": 0}, "schema": "reference"}, f)
+    ds = CrossDockedShards(str(root), mode="add_aromatic")
+    s = ds.get(0, np.random.default_rng(0))
+    from cbgbench_tpu.constants.molecule import (
+        MAP_ATOM_TYPE_AROMATIC_TO_INDEX)
+    assert s["ligand"]["atype"][0] == MAP_ATOM_TYPE_AROMATIC_TO_INDEX[
+        (6, True)]
+    assert s["ligand"]["atype"][1] == MAP_ATOM_TYPE_AROMATIC_TO_INDEX[
+        (7, False)]
+    assert s["protein"]["element"].max() < 6      # indices, not Z
+
+
+def test_finetune_loads_params_only(tmp_path):
+    """--finetune: params come from the checkpoint, iteration restarts."""
+    from cbgbench_tpu.cli.train_cli import main as train_main
+
+    cfg = str(tmp_path / "tiny.yml")
+    with open(cfg, "w") as f:
+        f.write("""
+model:
+  type: targetdiff
+  encoder: {type: unitransformer, node_feat_dim: 16, n_heads: 2, num_layers: 1}
+  generator:
+    pos_schedule: {type: sigmoid, beta_start: 1.e-7, beta_end: 2.e-3}
+    atom_schedule: {type: cosine, cosine_s: 0.01}
+    num_diffusion_timesteps: 10
+    time_sampler: symmetric
+  embedder: {emb_dim: 16}
+  mode: add_aromatic
+data:
+  train:
+    name: pl_fa
+    raw_path: assets/examples
+    pocket_radius: 10.0
+    transform: [{type: featurize_protein_fa}, {type: featurize_ligand_fa}]
+train:
+  loss_weights: {pos: 1.0, atom: 100.0}
+  max_iters: 2
+  report_freq: 1
+  batch_size: 2
+  seed: 0
+  optimizer: {type: adam, lr: 5.e-4}
+""")
+    d1 = str(tmp_path / "a")
+    train_main(["--config", cfg, "--logdir", d1, "--tag", "r", "--device",
+                "cpu", "--max_iters", "2", "--batch_size", "2",
+                "--no_tensorboard"])
+    ckpt = f"{d1}/r/checkpoints"
+    d2 = str(tmp_path / "b")
+    train_main(["--config", cfg, "--logdir", d2, "--tag", "f", "--device",
+                "cpu", "--max_iters", "1", "--batch_size", "2",
+                "--no_tensorboard", "--resume", ckpt, "--finetune"])
+    log = open(f"{d2}/f/train.log").read()
+    assert "finetuning from" in log
+    assert "iter 1 " in log

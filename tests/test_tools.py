@@ -248,3 +248,24 @@ def test_atom_map_3d_and_anchors():
     moved.pos = moved.pos + np.array([0.001, 0, 0])  # within epsilon? no
     back = transfer_coords(frag, mol)
     assert np.allclose(back.pos, frag.pos)
+
+
+def test_evaluate_folder_workers_matches_serial(tmp_path):
+    from cbgbench_tpu.chem.sdf import write_sdf
+    from cbgbench_tpu.cli.evaluate_cli import evaluate_folder
+    for i, m in enumerate(MOLS[:2]):
+        d = tmp_path / f"p{i}"
+        d.mkdir()
+        write_sdf(str(d / "0.sdf"), m)
+
+    def lookup(name):
+        return (LIGANDS[0].replace("_ligand.sdf", "_protein.pdb"),
+                LIGANDS[0])
+
+    r1 = evaluate_folder(str(tmp_path), num_samples=1,
+                         protein_lookup=lookup, workers=0)
+    r2 = evaluate_folder(str(tmp_path), num_samples=1,
+                         protein_lookup=lookup, workers=2)
+    for k, v in r1.items():
+        if isinstance(v, float):
+            assert abs(v - r2[k]) < 1e-9, (k, v, r2[k])
