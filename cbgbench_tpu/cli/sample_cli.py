@@ -195,10 +195,18 @@ def main(argv=None):
                 transform=transform)
         else:
             batches = None
-        iterator = batches if batches is not None else (
-            repeat_for_sampling(ds, i, num_samples, args.batch_size,
-                                transform, seed=seed, lig_cap=args.lig_cap,
-                                rec_cap=args.rec_cap))
+        if batches is not None:
+            iterator = batches
+        else:
+            # per-pocket shape bucket: pad the receptor to the next
+            # 128-multiple instead of the global cap — the one-hot gather
+            # cost is O(N^2), so a 600-atom pocket in a 1024-node bucket
+            # wastes ~2.6x (few distinct buckets => few compiles)
+            rec_n = len(ds.get(i, np.random.default_rng(0))["protein"]["pos"])
+            rec_cap_i = min(args.rec_cap, max(128, -(-rec_n // 128) * 128))
+            iterator = repeat_for_sampling(
+                ds, i, num_samples, args.batch_size, transform, seed=seed,
+                lig_cap=args.lig_cap, rec_cap=rec_cap_i)
         for bi, batch in enumerate(iterator):
             if isinstance(batch, tuple) and batch[0] == "mols":
                 # FLAG yields whole molecules (bonds known from templates)

@@ -146,6 +146,10 @@ def main(argv=None):
                    help="data-parallel mesh size: shard the batch over N "
                         "devices (params replicated, grads psum over ICI); "
                         "batch_size must be divisible by N")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize() for multi-host "
+                        "slices before touching devices (DCN orchestration;"
+                        " each host feeds its local batch shard)")
     p.add_argument("--no_tensorboard", action="store_true")
     args = p.parse_args(argv)
 
@@ -154,6 +158,10 @@ def main(argv=None):
     import jax
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        from ..parallel.mesh import init_multihost
+        n_proc = init_multihost()
+        print(f"multihost: process {jax.process_index()}/{n_proc}")
     import jax.numpy as jnp
     import numpy as np
 
@@ -189,9 +197,10 @@ def main(argv=None):
     model = get_model(cfg["model"])
     mode = cfg["model"].get("mode", "add_aromatic")
     ds = build_dataset(cfg["data"]["train"], mode)
-    loader = make_model_loader(cfg["model"]["type"], ds,
-                               train_cfg["batch_size"], args.lig_cap,
-                               args.rec_cap, seed=train_cfg.get("seed", 2022))
+    from ..data.prefetch import prefetch
+    loader = prefetch(make_model_loader(
+        cfg["model"]["type"], ds, train_cfg["batch_size"], args.lig_cap,
+        args.rec_cap, seed=train_cfg.get("seed", 2022)), buffer_size=2)
     val_loader = make_model_loader(cfg["model"]["type"], ds,
                                    train_cfg["batch_size"], args.lig_cap,
                                    args.rec_cap, seed=123)
@@ -210,7 +219,7 @@ def main(argv=None):
 
     mesh = None
     if args.mesh > 1:
-        from ..parallel.mesh import make_mesh, replicate, shard_batch
+        from ..parallel.mesh import make_mesh, replicate
         if len(jax.devices()) < args.mesh:
             raise SystemExit(
                 f"--mesh {args.mesh} needs {args.mesh} devices but only "
@@ -223,9 +232,12 @@ def main(argv=None):
         mesh = make_mesh(jax.devices()[:args.mesh], data=args.mesh)
         state = jax.device_put(state, replicate(mesh))
         log.info("data-parallel mesh: %s", dict(mesh.shape))
+        from ..parallel.mesh import global_batch_from_host
 
         def _shard(b):
-            return shard_batch(b, mesh)
+            # single-host: device_put over the data axis; multi-host: each
+            # process contributes its local loader batch as its shard
+            return global_batch_from_host(b, mesh)
     else:
         def _shard(b):
             return b

@@ -19,6 +19,7 @@ from typing import Any, Dict, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..diffusion import CTNVPScheduler, TypeVPScheduler
 from ..nn.embedders import (PLContextEmbedder, aa_onehot,
@@ -184,8 +185,10 @@ class TargetDiff(nn.Module):
         return self._denoise(x_lig, c_lig, batch, t)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "n_steps"))
-def _sample_chunk(model: TargetDiff, params, batch, carry, t_hi, n_steps):
+@functools.partial(jax.jit, static_argnames=("model", "n_steps",
+                                             "with_traj"))
+def _sample_chunk(model: TargetDiff, params, batch, carry, t_hi, n_steps,
+                  with_traj: bool = False):
     """Scan `n_steps` reverse-diffusion steps starting at timestep t_hi.
 
     One compiled program serves every chunk (t_hi is a traced argument);
@@ -214,10 +217,10 @@ def _sample_chunk(model: TargetDiff, params, batch, carry, t_hi, n_steps):
             c_next, _ = type_sched.backward_remove_noise(k2, c_pred, c, t, gen)
         else:
             c_next = c
-        return (x_next, c_next, key), None
+        return (x_next, c_next, key), (x_next if with_traj else None)
 
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_steps))
-    return carry
+    carry, ys = jax.lax.scan(step, carry, jnp.arange(n_steps))
+    return (carry, ys) if with_traj else carry
 
 
 
@@ -233,14 +236,19 @@ def _resolve_impl(model, impl):
 
 
 def sample_targetdiff(model: TargetDiff, params, batch, rng,
-                      chunk_size: int = 100, impl: str = "auto"):
+                      chunk_size: int = 100, impl: str = "auto",
+                      traj_stride: int = 0):
     """Full reverse diffusion, host-chunked.
 
     Starts from the prior already placed in batch.ligand (pos ~ pocket
     prior, atype ~ uniform) and denoises num_timesteps steps. Each chunk is
     one fused lax.scan program (reused across chunks); the trajectory stays
     on device — the reference's per-step Python loop with CPU offload
-    (targetdiff.py:181) is the throughput bottleneck this replaces."""
+    (targetdiff.py:181) is the throughput bottleneck this replaces.
+
+    traj_stride > 0 additionally returns 'traj_pos' [S, B, N, 3]: every
+    traj_stride-th intermediate position (the reference's `traj` dict,
+    collected on device per chunk instead of offloaded per step)."""
     model = _resolve_impl(model, impl)
     lig = batch.ligand
     c_in = jax.nn.one_hot(lig.atype, model.num_classes)
@@ -248,16 +256,30 @@ def sample_targetdiff(model: TargetDiff, params, batch, rng,
     total = model.num_timesteps
     chunk = min(chunk_size, total)
     t_hi = total - 1
+    traj = []
+    step_in_traj = 0
     while t_hi >= 0:
         n = min(chunk, t_hi + 1)
-        carry = _sample_chunk(model, params, batch, carry,
-                              jnp.asarray(t_hi, jnp.int32), n)
+        if traj_stride > 0:
+            carry, ys = _sample_chunk(model, params, batch, carry,
+                                      jnp.asarray(t_hi, jnp.int32), n,
+                                      with_traj=True)
+            # global stride across chunk boundaries
+            first = (-step_in_traj) % traj_stride
+            traj.append(np.asarray(ys[first::traj_stride]))
+            step_in_traj += n
+        else:
+            carry = _sample_chunk(model, params, batch, carry,
+                                  jnp.asarray(t_hi, jnp.int32), n)
         # Synchronize between chunks: keeps each device RPC short (the
         # platform enforces a per-execution wall-clock budget).
         jax.block_until_ready(carry[0])
         t_hi -= n
     x_fin, c_fin, _ = carry
-    return {"pos": x_fin, "atype": jnp.argmax(c_fin, -1), "c": c_fin}
+    out = {"pos": x_fin, "atype": jnp.argmax(c_fin, -1), "c": c_fin}
+    if traj_stride > 0:
+        out["traj_pos"] = np.concatenate(traj, 0)
+    return out
 
 
 @MODELS.register("targetdiff")

@@ -191,9 +191,20 @@ class _EdgeAttnBase(nn.Module):
         """Node-level src projections, gathered to edges via the XLA
         one-hot matmul (runs at MXU peak): [B,N,K,2D] bf16."""
         from ..ops.knn import gather_neighbors
+        return gather_neighbors(self._t_src_node(p, h), idx)
+
+    def _t_src_node(self, p, h):
+        """Node-level src projections [B,N,2D] bf16 (gathered in-kernel
+        by the v2 fully fused path)."""
         ws = jnp.concatenate([p["k_in_src"], p["v_in_src"]], 1)
-        t_src = (h.astype(jnp.bfloat16) @ ws.astype(jnp.bfloat16))
-        return gather_neighbors(t_src, idx)
+        return h.astype(jnp.bfloat16) @ ws.astype(jnp.bfloat16)
+
+    def _kernel_weights2(self, p):
+        """Weights for the v2 fused kernel (src projection is node-level
+        precomputed, so no ws; edge Dense + LN happen in-kernel)."""
+        w = self._kernel_weights(p)
+        del w["ws"]
+        return w
 
 
 class X2HAttnFused(_EdgeAttnBase):
@@ -226,6 +237,15 @@ class X2HAttnFused(_EdgeAttnBase):
             out = edge_attention_pre(
                 self._t_src_gathered(p, h, idx), edge_feat, valid, ew,
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre(p),
+                mode="x2h", heads=self.n_heads)
+            out = out.astype(h.dtype)
+        elif self.impl == "pallas2":
+            from ..ops.pallas_edge_attn import edge_attention2
+            ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
+                                                      jnp.float32)
+            out = edge_attention2(
+                self._t_src_node(p, h), idx, valid, edge_attr, ew, rel_x,
+                q, self._t_dst(p, h), self._kernel_weights2(p),
                 mode="x2h", heads=self.n_heads)
             out = out.astype(h.dtype)
         else:
@@ -277,6 +297,14 @@ class H2XAttnFused(_EdgeAttnBase):
             return edge_attention_pre(
                 self._t_src_gathered(p, h, idx), edge_feat, valid, ew,
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre(p),
+                mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
+        if self.impl == "pallas2":
+            from ..ops.pallas_edge_attn import edge_attention2
+            ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(
+                valid.shape + (1,), jnp.float32)
+            return edge_attention2(
+                self._t_src_node(p, h), idx, valid, edge_attr, ew, rel_x,
+                q, self._t_dst(p, h), self._kernel_weights2(p),
                 mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
 
         k = self._edge_net(p, "k", edge_feat, h, h_src, cdt)

@@ -72,7 +72,7 @@ class E3DualAttentionLayer(nn.Module):
 
         # ---- shared per-layer edge geometry ----
         h_in = h
-        if self.impl == "pallas":
+        if self.impl in ("pallas", "pallas2"):
             # h gathers happen inside the fused kernel; only rel_x is
             # precomputed host-of-kernel (exact 3-plane gather)
             x_src = gather_neighbors(x, idx)
@@ -113,7 +113,7 @@ class E3DualAttentionLayer(nn.Module):
 
         x_out = x
         for i in range(self.num_h2x):
-            if self.impl not in ("pallas", "pallas_pre"):
+            if self.impl not in ("pallas", "pallas_pre", "pallas2"):
                 (h_src2,) = smart_gather([h_out.astype(gdt)], idx,
                                          method=self.gather_method)
                 h_src2 = h_src2.astype(h.dtype)

@@ -38,6 +38,109 @@ LANE = 128
 NEG = -1e9
 
 
+def _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
+               w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref, *,
+               mode: str, k_nb: int, heads: int, oh_dst=None):
+    """Shared back half of every edge-attention kernel: dst-broadcast +
+    LayerNorm halves + ReLU + second Dense + per-head logits (HeadSum
+    trick) + masked softmax over K + aggregation."""
+    d = w2k_ref.shape[0]
+    tile_n = q_ref.shape[1]
+    e = tile_n * k_nb
+    dh = d // heads
+    f32 = jnp.float32
+
+    if oh_dst is None:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (e, tile_n), 0) // k_nb
+        cols_t = jax.lax.broadcasted_iota(jnp.int32, (e, tile_n), 1)
+        oh_dst = (rows == cols_t).astype(jnp.bfloat16)   # [E, TILE_N]
+    z = z + jnp.dot(oh_dst, tdst_ref[0], preferred_element_type=f32)
+
+    def layer_norm(x, scale, bias):
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, -1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+
+    zk, zv = z[:, :d], z[:, d:]
+    ln = ln_ref[:].astype(f32)                           # [4, D]
+    k = jnp.maximum(layer_norm(zk, ln[0:1, :], ln[1:2, :]), 0.0)
+    v = jnp.maximum(layer_norm(zv, ln[2:3, :], ln[3:4, :]), 0.0)
+    k = (jnp.dot(k.astype(jnp.bfloat16), w2k_ref[:],
+                 preferred_element_type=f32) + b2k_ref[0][None, :])
+    v = (jnp.dot(v.astype(jnp.bfloat16), w2v_ref[:],
+                 preferred_element_type=f32) + b2v_ref[0][None, :])
+    v = v * ew_ref[0].astype(f32)
+
+    qb = jnp.dot(oh_dst, q_ref[0], preferred_element_type=f32)   # [E, D]
+    li = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // dh
+    lj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // dh
+    head_sum = jnp.where(li == lj, 1.0 / np.sqrt(dh), 0.0
+                         ).astype(jnp.bfloat16)          # [D, D]
+    logits = jnp.dot((qb * k).astype(jnp.bfloat16), head_sum,
+                     preferred_element_type=f32)         # [E, D]
+    valid = valid_ref[0].astype(f32)                     # [E, 1]
+    logits = logits + (valid - 1.0) * (-NEG)
+
+    l3 = logits.reshape(tile_n, k_nb, d)
+    v3m = valid.reshape(tile_n, k_nb, 1)
+    m = jnp.max(l3, axis=1, keepdims=True)
+    p = jnp.exp(l3 - m) * v3m
+    s = jnp.sum(p, axis=1, keepdims=True)
+    alpha = p / jnp.maximum(s, 1e-9)                     # [T, K, D]
+
+    if mode == "x2h":
+        out_ref[0] = jnp.sum(alpha * v.reshape(tile_n, k_nb, d), axis=1)
+    else:
+        # v: [E, H] head scalars; coeff = mean_h alpha_h * v_h
+        vout = v.shape[1]
+        rep = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 0)
+        tgt = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 1) // dh
+        expand = jnp.where(rep == tgt, 1.0, 0.0).astype(jnp.bfloat16)
+        v128 = jnp.dot(v.astype(jnp.bfloat16), expand,
+                       preferred_element_type=f32)       # [E, D]
+        w = alpha * v128.reshape(tile_n, k_nb, d)
+        coeff = jnp.sum(w, axis=-1, keepdims=True) / (dh * heads)  # [T,K,1]
+        r3 = relx.reshape(tile_n, k_nb, 3)
+        out_ref[0] = jnp.sum(coeff * r3, axis=1)         # [T, 3]
+
+
+def _edge_attn2_kernel(tsn_ref, idx_ref, valid_ref, ea_ref, ew_ref,
+                       relx_ref, q_ref, tdst_ref, offs_ref,
+                       wea_ref, web_ref, ln_ref, w2k_ref, b2k_ref,
+                       w2v_ref, b2v_ref, out_ref, *,
+                       mode: str, n_src: int, k_nb: int, heads: int,
+                       eps: float):
+    """Fully fused v2: the src projections are node-level precomputed in
+    XLA (tsn = h @ [W_src_k|W_src_v], [1, N, 2D] bf16 — 32x fewer
+    projection FLOPs than projecting gathered edges) and gathered here
+    with a single one-shot one-hot matmul, so no [E, *] intermediate ever
+    touches HBM. Edge features (RBF x edge-type) are built in-kernel."""
+    tile_n = q_ref.shape[1]
+    e = tile_n * k_nb
+    f32 = jnp.float32
+
+    idx = idx_ref[0]                                     # [E, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (e, n_src), 1)
+    oh = (idx == cols).astype(jnp.bfloat16)              # [E, N]
+    z = jnp.dot(oh, tsn_ref[0], preferred_element_type=f32)  # [E, 2D]
+
+    relx = relx_ref[0][:, :3].astype(f32)                # [E, 3]
+    dist = jnp.sqrt(jnp.sum(relx * relx, -1, keepdims=True) + eps)
+    diff = dist - offs_ref[0][None, :]                   # [E,1]-[1,20]
+    rbf = jnp.exp(-0.5 * diff * diff).astype(jnp.bfloat16)   # [E, 20]
+    ea = ea_ref[0].astype(jnp.bfloat16)                  # [E, 4]
+
+    z = z + jnp.dot(ea, wea_ref[:], preferred_element_type=f32)
+    for c in range(4):
+        zc = jnp.dot(rbf, web_ref[c * 20:(c + 1) * 20, :],
+                     preferred_element_type=f32)
+        z = z + ea[:, c:c + 1].astype(f32) * zc
+
+    _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
+               w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref,
+               mode=mode, k_nb=k_nb, heads=heads)
+
+
 def _edge_attn_kernel(payload_ref, idx_ref, valid_ref, ea_ref, ew_ref,
                       relx_ref, q_ref, tdst_ref, offs_ref,
                       wea_ref, web_ref, ws_ref, ln_ref, w2k_ref, b2k_ref,
@@ -85,65 +188,9 @@ def _edge_attn_kernel(payload_ref, idx_ref, valid_ref, ea_ref, ew_ref,
         z = z + ea[:, c:c + 1].astype(f32) * zc
     z = z + jnp.dot(hs, ws_ref[:], preferred_element_type=f32)
 
-    # dst-broadcast of node-level terms via (e // K == t) one-hot
-    rows = jax.lax.broadcasted_iota(jnp.int32, (e, tile_n), 0) // k_nb
-    cols_t = jax.lax.broadcasted_iota(jnp.int32, (e, tile_n), 1)
-    oh_dst = (rows == cols_t).astype(jnp.bfloat16)       # [E, TILE_N]
-    z = z + jnp.dot(oh_dst, tdst_ref[0], preferred_element_type=f32)
-
-    # ---- LayerNorm halves + ReLU + second Dense ----
-    def layer_norm(x, scale, bias):
-        mu = jnp.mean(x, -1, keepdims=True)
-        var = jnp.mean((x - mu) ** 2, -1, keepdims=True)
-        return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
-
-    zk, zv = z[:, :d], z[:, d:]
-    ln = ln_ref[:].astype(f32)                           # [4, D]
-    k = jnp.maximum(layer_norm(zk, ln[0:1, :], ln[1:2, :]), 0.0)
-    v = jnp.maximum(layer_norm(zv, ln[2:3, :], ln[3:4, :]), 0.0)
-    k = (jnp.dot(k.astype(jnp.bfloat16), w2k_ref[:],
-                 preferred_element_type=f32) + b2k_ref[0][None, :])
-    v = (jnp.dot(v.astype(jnp.bfloat16), w2v_ref[:],
-                 preferred_element_type=f32) + b2v_ref[0][None, :])
-
-    ew = ew_ref[0].astype(f32)                           # [E, 1]
-    v = v * ew
-
-    # ---- logits: per-head q.k replicated across each head's dh lanes ----
-    qb = jnp.dot(oh_dst, q_ref[0], preferred_element_type=f32)   # [E, D]
-    li = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // dh
-    lj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // dh
-    head_sum = jnp.where(li == lj, 1.0 / np.sqrt(dh), 0.0
-                         ).astype(jnp.bfloat16)          # [D, D]
-    logits = jnp.dot((qb * k).astype(jnp.bfloat16), head_sum,
-                     preferred_element_type=f32)         # [E, D]
-    valid = valid_ref[0].astype(f32)                     # [E, 1]
-    logits = logits + (valid - 1.0) * (-NEG)
-
-    # ---- masked softmax over K (reshape splits leading dim only) ----
-    l3 = logits.reshape(tile_n, k_nb, d)
-    v3m = valid.reshape(tile_n, k_nb, 1)
-    m = jnp.max(l3, axis=1, keepdims=True)
-    p = jnp.exp(l3 - m) * v3m
-    s = jnp.sum(p, axis=1, keepdims=True)
-    alpha = p / jnp.maximum(s, 1e-9)                     # [T, K, D]
-
-    if mode == "x2h":
-        vv = v.reshape(tile_n, k_nb, d)
-        out = jnp.sum(alpha * vv, axis=1)                # [T, D]
-        out_ref[0] = out
-    else:
-        # v: [E, H] head scalars; coeff = mean_h alpha_h * v_h
-        vout = v.shape[1]
-        rep = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 0)
-        tgt = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 1) // dh
-        expand = jnp.where(rep == tgt, 1.0, 0.0).astype(jnp.bfloat16)
-        v128 = jnp.dot(v.astype(jnp.bfloat16), expand,
-                       preferred_element_type=f32)       # [E, D]
-        w = alpha * v128.reshape(tile_n, k_nb, d)
-        coeff = jnp.sum(w, axis=-1, keepdims=True) / (dh * heads)  # [T,K,1]
-        r3 = relx.reshape(tile_n, k_nb, 3)
-        out_ref[0] = jnp.sum(coeff * r3, axis=1)         # [T, 3]
+    _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
+               w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref,
+               mode=mode, k_nb=k_nb, heads=heads)
 
 
 def _edge_attn_pre_kernel(tsrc_ref, ef_ref, valid_ref, ew_ref, relx_ref,
@@ -165,56 +212,9 @@ def _edge_attn_pre_kernel(tsrc_ref, ef_ref, valid_ref, ew_ref, relx_ref,
     z = z + jnp.dot(ef_ref[0].astype(jnp.bfloat16), we_ref[:],
                     preferred_element_type=f32)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (e, tile_n), 0) // k_nb
-    cols_t = jax.lax.broadcasted_iota(jnp.int32, (e, tile_n), 1)
-    oh_dst = (rows == cols_t).astype(jnp.bfloat16)       # [E, TILE_N]
-    z = z + jnp.dot(oh_dst, tdst_ref[0], preferred_element_type=f32)
-
-    def layer_norm(x, scale, bias):
-        mu = jnp.mean(x, -1, keepdims=True)
-        var = jnp.mean((x - mu) ** 2, -1, keepdims=True)
-        return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
-
-    zk, zv = z[:, :d], z[:, d:]
-    ln = ln_ref[:].astype(f32)                           # [4, D]
-    k = jnp.maximum(layer_norm(zk, ln[0:1, :], ln[1:2, :]), 0.0)
-    v = jnp.maximum(layer_norm(zv, ln[2:3, :], ln[3:4, :]), 0.0)
-    k = (jnp.dot(k.astype(jnp.bfloat16), w2k_ref[:],
-                 preferred_element_type=f32) + b2k_ref[0][None, :])
-    v = (jnp.dot(v.astype(jnp.bfloat16), w2v_ref[:],
-                 preferred_element_type=f32) + b2v_ref[0][None, :])
-    v = v * ew_ref[0].astype(f32)
-
-    qb = jnp.dot(oh_dst, q_ref[0], preferred_element_type=f32)   # [E, D]
-    li = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // dh
-    lj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // dh
-    head_sum = jnp.where(li == lj, 1.0 / np.sqrt(dh), 0.0
-                         ).astype(jnp.bfloat16)
-    logits = jnp.dot((qb * k).astype(jnp.bfloat16), head_sum,
-                     preferred_element_type=f32)
-    valid = valid_ref[0].astype(f32)
-    logits = logits + (valid - 1.0) * (-NEG)
-
-    l3 = logits.reshape(tile_n, k_nb, d)
-    v3m = valid.reshape(tile_n, k_nb, 1)
-    m = jnp.max(l3, axis=1, keepdims=True)
-    p = jnp.exp(l3 - m) * v3m
-    s = jnp.sum(p, axis=1, keepdims=True)
-    alpha = p / jnp.maximum(s, 1e-9)
-
-    if mode == "x2h":
-        out_ref[0] = jnp.sum(alpha * v.reshape(tile_n, k_nb, d), axis=1)
-    else:
-        vout = v.shape[1]
-        rep = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 0)
-        tgt = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 1) // dh
-        expand = jnp.where(rep == tgt, 1.0, 0.0).astype(jnp.bfloat16)
-        v128 = jnp.dot(v.astype(jnp.bfloat16), expand,
-                       preferred_element_type=f32)
-        w = alpha * v128.reshape(tile_n, k_nb, d)
-        coeff = jnp.sum(w, axis=-1, keepdims=True) / (dh * heads)
-        r3 = relx_ref[0][:, :3].astype(f32).reshape(tile_n, k_nb, 3)
-        out_ref[0] = jnp.sum(coeff * r3, axis=1)
+    _attn_tail(z, valid_ref, ew_ref, relx_ref[0][:, :3].astype(f32),
+               q_ref, tdst_ref, ln_ref, w2k_ref, b2k_ref, w2v_ref, b2v_ref,
+               out_ref, mode=mode, k_nb=k_nb, heads=heads)
 
 
 @functools.partial(
@@ -292,6 +292,100 @@ def edge_attention_pre(t_src, edge_feat, valid, e_w, rel_x, q, t_dst,
     )(tsrc_f, ef_f, valid_f, ew_f, relx_f,
       q.astype(jnp.float32), t_dst.astype(jnp.float32),
       w["we"].astype(jnp.bfloat16), w["ln"].astype(jnp.float32),
+      w["w2k"].astype(jnp.bfloat16),
+      w["b2k"].reshape(1, -1).astype(jnp.float32),
+      w["w2v"].astype(jnp.bfloat16),
+      w["b2v"].reshape(1, -1).astype(jnp.float32))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "tile_n", "heads", "eps", "interpret"))
+def edge_attention2(t_src_node, idx, valid, edge_attr, e_w, rel_x, q, t_dst,
+                    weights: Dict[str, jnp.ndarray], mode: str = "x2h",
+                    tile_n: int = 32, heads: int = 16, eps: float = 1e-12,
+                    interpret: bool = False):
+    """Fully fused v2 edge attention over node-level src projections.
+
+    t_src_node [B,N,2D] bf16 (h @ [W_src_k|W_src_v], projected in XLA at
+    node level); idx/valid [B,N,K]; edge_attr [B,N,K,4]; e_w [B,N,K,1];
+    rel_x [B,N,K,3] f32; q [B,N,D]; t_dst [B,N,2D].
+    weights: wea [4,2D] web [80,2D] ln [4,D] w2k [D,D] b2k [D]
+             w2v [D,VOUT] b2v [VOUT].
+    Returns [B,N,D] f32 (x2h) or [B,N,3] f32 (h2x).
+
+    vs edge_attention: the in-kernel gather pulls the already-projected
+    [N, 2D] payload with ONE one-hot matmul (no chunk loop, no per-edge
+    W_src matmul); vs edge_attention_pre: no [B,N,K,2D] edge tensor ever
+    reaches HBM (~128 MB/layer at [16,512,32,128] saved each way)."""
+    b, n = q.shape[0], q.shape[1]
+    d = q.shape[-1]
+    k_nb = idx.shape[-1]
+    r = n * k_nb
+    vout = weights["w2v"].shape[1]
+
+    interpret = interpret or not edge_attn_available()
+    while n % tile_n != 0:          # largest power-of-two tile dividing N
+        tile_n //= 2
+        if tile_n < 1:
+            raise ValueError(f"node count {n} has no power-of-two tiling")
+    e = tile_n * k_nb
+    idx_f = idx.reshape(b, r, 1).astype(jnp.int32)
+    valid_f = valid.reshape(b, r, 1).astype(jnp.bfloat16)
+    ea_f = edge_attr.reshape(b, r, 4).astype(jnp.bfloat16)
+    ew_f = e_w.reshape(b, r, 1).astype(jnp.bfloat16)
+    relx_f = rel_x.reshape(b, r, 3).astype(jnp.float32)
+
+    out_d = d if mode == "x2h" else 3
+    grid = (b, n // tile_n)
+
+    def edge_spec(c):
+        return pl.BlockSpec((1, e, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def node_spec(nn_, c):
+        return pl.BlockSpec((1, nn_, c), lambda bi, ti: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(c):
+        return pl.BlockSpec((1, tile_n, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi, ti: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    w = weights
+    out = pl.pallas_call(
+        functools.partial(_edge_attn2_kernel, mode=mode, n_src=n,
+                          k_nb=k_nb, heads=heads, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            node_spec(n, 2 * d),                  # t_src_node
+            edge_spec(1), edge_spec(1), edge_spec(4), edge_spec(1),
+            edge_spec(3),
+            tile_spec(d), tile_spec(2 * d),
+            w_spec((1, 20)),
+            w_spec((4, 2 * d)), w_spec((80, 2 * d)),
+            w_spec((4, d)), w_spec((d, d)), w_spec((1, d)),
+            w_spec((d, vout)), w_spec((1, vout)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, out_d),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * (n * 2 * d + 84 * 2 * d + d * d + d * vout),
+            bytes_accessed=b * (n * 2 * d * 2 + r * (4 + 9 * 2)),
+            transcendentals=b * r * 21),
+        interpret=interpret,
+    )(t_src_node.astype(jnp.bfloat16), idx_f, valid_f, ea_f, ew_f, relx_f,
+      q.astype(jnp.float32), t_dst.astype(jnp.float32),
+      jnp.asarray(np.asarray(FIXED_OFFSETS), jnp.float32).reshape(1, 20),
+      w["wea"].astype(jnp.bfloat16), w["web"].astype(jnp.bfloat16),
+      w["ln"].astype(jnp.float32),
       w["w2k"].astype(jnp.bfloat16),
       w["b2k"].reshape(1, -1).astype(jnp.float32),
       w["w2v"].astype(jnp.bfloat16),

@@ -62,3 +62,32 @@ def shard_batch(batch, mesh: Mesh):
 def shard_params(params, mesh: Mesh):
     return jax.tree.map(
         lambda x: jax.device_put(x, replicate(mesh)), params)
+
+
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> int:
+    """DCN-level orchestration for multi-host slices (SURVEY §2.7): call
+    before any other jax API. On TPU pods every argument auto-detects from
+    the environment; on CPU/GPU clusters pass them explicitly. Returns the
+    process count. Safe to call when already initialized or single-host."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass            # already initialized, or single-process run
+    return jax.process_count()
+
+
+def global_batch_from_host(batch, mesh: Mesh):
+    """Multi-host data feeding: each process holds its own per-host batch
+    shard (same tree, leading dim = global_B / process_count); assemble
+    the global jax.Array sharded over the data axis without gathering
+    through host 0. Single-host meshes fall back to shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sharding = data_parallel_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        batch)

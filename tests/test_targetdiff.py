@@ -131,3 +131,37 @@ def test_grads_finite_with_self_gathering_padded_rows():
     grads = jax.grad(loss_fn)(params)
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_sample_traj_stride():
+    """traj_stride returns strided intermediate positions across chunks."""
+    import numpy as np
+    from cbgbench_tpu.data.batch import synthetic_batch
+    from cbgbench_tpu.models.targetdiff import TargetDiff, sample_targetdiff
+    import jax
+    batch = synthetic_batch(0, batch_size=2, n_lig=8, n_rec=24,
+                            num_atom_types=8, lig_cap=16, rec_cap=32)
+    model = TargetDiff(num_classes=8, num_timesteps=20, emb_dim=16,
+                       num_layers=1, n_heads=2, k=4)
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+    params = jax.jit(model.init)(rng, batch, jnp.zeros(2, jnp.int32), rng)
+    out = sample_targetdiff(model, params, batch, rng, chunk_size=7,
+                            impl="xla", traj_stride=5)
+    assert out["traj_pos"].shape == (4, 2, 16, 3)   # 20 steps / stride 5
+    assert np.isfinite(out["traj_pos"]).all()
+    # last traj frame precedes the final state in the denoise chain
+    assert np.isfinite(np.asarray(out["pos"])).all()
+
+
+def test_prefetch_iterator():
+    from cbgbench_tpu.data.prefetch import prefetch
+    assert list(prefetch(iter(range(100)), 4)) == list(range(100))
+    def boom():
+        yield 1
+        raise ValueError("x")
+    it = prefetch(boom(), 2)
+    assert next(it) == 1
+    import pytest
+    with pytest.raises(ValueError):
+        next(it)
