@@ -269,3 +269,19 @@ def test_evaluate_folder_workers_matches_serial(tmp_path):
     for k, v in r1.items():
         if isinstance(v, float):
             assert abs(v - r2[k]) < 1e-9, (k, v, r2[k])
+
+
+def test_similarity_tools():
+    from cbgbench_tpu.tools.similarity import (batched_number_of_rings,
+                                               tanimoto_sim,
+                                               tanimoto_sim_N_to_1)
+    m0, m1 = MOLS[0], MOLS[1]
+    assert abs(tanimoto_sim(m0, m0) - 1.0) < 1e-9
+    s01 = tanimoto_sim(m0, m1)
+    assert 0.0 <= s01 < 1.0
+    sims = tanimoto_sim_N_to_1(MOLS[:3], m0)
+    assert sims[0] == 1.0 and len(sims) == 3
+    rings = batched_number_of_rings(MOLS[:3])
+    assert (rings >= 0).all()
+    # benzene-containing crystal ligands have rings
+    assert rings.max() >= 1
