@@ -135,6 +135,10 @@ def main(argv=None):
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--lig_cap", type=int, default=96)
     p.add_argument("--rec_cap", type=int, default=928)
+    p.add_argument("--mesh", type=int, default=1, metavar="N",
+                   help="shard each sampling batch over N devices (pockets/"
+                        "samples are embarrassingly parallel; params "
+                        "replicated); batch_size must be divisible by N")
     args = p.parse_args(argv)
 
     if args.device == "cpu":
@@ -177,6 +181,20 @@ def main(argv=None):
         "num_samples", 200)
     seed = cfg.get("sampling", {}).get("seed", 2022)
     sampler = SAMPLERS.get(model_cfg["type"])
+
+    mesh = None
+    if args.mesh > 1:
+        from ..parallel.mesh import make_mesh, replicate, shard_batch
+        if len(jax.devices()) < args.mesh:
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {args.mesh} devices but only "
+                f"{len(jax.devices())} are visible")
+        if args.batch_size % args.mesh != 0:
+            raise SystemExit(f"batch_size {args.batch_size} not divisible "
+                             f"by --mesh {args.mesh}")
+        mesh = make_mesh(jax.devices()[:args.mesh], data=args.mesh)
+        params = jax.device_put(params, replicate(mesh))
+        log.info("sampling mesh: %s", dict(mesh.shape))
 
     indices = [args.index] if args.index is not None else range(len(ds))
     os.makedirs(args.out_root, exist_ok=True)
@@ -229,6 +247,8 @@ def main(argv=None):
             else:
                 rng = jax.random.fold_in(jax.random.PRNGKey(seed),
                                          bi * 1000 + i)
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
                 out = sampler(model, params, batch, rng)
                 pos = np.asarray(out["pos"]) + np.asarray(
                     batch.translation)[:, None]
