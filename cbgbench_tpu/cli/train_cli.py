@@ -52,9 +52,9 @@ def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
 
     def generic(build, stack):
         rng = np.random.default_rng(seed)
-        while True:
-            buf = []
-            n_yielded = 0
+        buf = []               # carried across epochs: datasets smaller
+        while True:            # than batch_size still fill batches
+            n_built = 0
             order = rng.permutation(len(ds))
             for i in order:
                 try:
@@ -65,17 +65,17 @@ def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
                 if b_ is None:
                     continue
                 buf.append(b_)
+                n_built += 1
                 if len(buf) == batch_size:
                     try:
                         yield stack(buf)
-                        n_yielded += 1
                     except ValueError:
                         pass       # a sample exceeded the shape bucket
                     buf = []
-            if n_yielded == 0:
+            if n_built == 0 and not buf:
                 raise RuntimeError(
-                    "no batch survived a full epoch: every sample failed to "
-                    "build or exceeded the shape bucket (lig_cap="
+                    "no sample built in a full epoch: every sample failed "
+                    "to build or exceeded the shape bucket (lig_cap="
                     f"{lig_cap}, rec_cap={rec_cap}); use larger caps")
 
     if model_type == "pocket2mol":

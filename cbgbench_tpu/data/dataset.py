@@ -103,10 +103,12 @@ def make_loader(dataset: RawPairDataset, batch_size: int,
     """Yield fixed-shape PocketLigandBatch forever (training) or one epoch."""
     rng = np.random.default_rng(seed)
     order = np.arange(len(dataset))
-    while True:
+    buf = []               # carried across epochs in infinite mode so
+    while True:            # datasets smaller than batch_size still batch
         if shuffle:
             rng.shuffle(order)
-        buf = []
+        if not infinite:
+            buf = []
         n_kept = 0
         for i in order:
             try:

@@ -195,3 +195,16 @@ train:
     log = open(f"{d2}/f/train.log").read()
     assert "finetuning from" in log
     assert "iter 1 " in log
+
+
+def test_loader_carries_buffer_across_epochs():
+    """Infinite loaders must fill batches across epoch boundaries so
+    datasets smaller than batch_size still train (q2_p2m regression)."""
+    from cbgbench_tpu.data.dataset import (RawPairDataset, example_pairs,
+                                           make_loader)
+    ds = RawPairDataset(example_pairs(), mode="add_aromatic",
+                        pocket_radius=10.0)
+    assert len(ds) < 8
+    loader = make_loader(ds, batch_size=8, lig_cap=96, rec_cap=928)
+    b = next(loader)
+    assert b.ligand.pos.shape[0] == 8

@@ -97,3 +97,18 @@ def test_two_stage_pool(tmp_path):
     lig = ctx_to_ligand_dict(back[0])
     assert not lig["gen_flag"].any()
     assert lig["pos"].shape[0] == len(lig["atype"])
+
+
+def test_np_rotation_to_so3vec_matches_jax():
+    """Host loader log-map (numpy) must equal utils.so3.rotation_to_so3vec."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cbgbench_tpu.data.fg_pipeline import _np_rotation_to_so3vec
+    from cbgbench_tpu.utils.so3 import (rotation_to_so3vec,
+                                        so3vec_to_rotation)
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(16, 3)).astype(np.float32)
+    R = np.asarray(so3vec_to_rotation(jnp.asarray(w)))
+    np.testing.assert_allclose(_np_rotation_to_so3vec(R),
+                               np.asarray(rotation_to_so3vec(jnp.asarray(R))),
+                               atol=1e-5)
