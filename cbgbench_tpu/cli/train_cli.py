@@ -263,6 +263,9 @@ def main(argv=None):
 
     step_fn = make_train_step(model, tx)
     eval_fn = make_eval_step(model, cfg.get("eval", {}).get("eval_interval", 10))
+    # jitted metrics forward (eager dispatch is ~100x slower on
+    # remote-compile platforms)
+    metric_apply = jax.jit(model.apply)
     from ..train.evaluate import build_metrics
     from ..train.metrics_log import ScalarWriter
     metric_fns = build_metrics(cfg.get("eval", {}).get("metrics", []))
@@ -304,7 +307,8 @@ def main(argv=None):
             if metric_fns:
                 t_mid = jnp.full((val_batch.ligand.pos.shape[0],),
                                  model.num_timesteps // 2, jnp.int32)
-                _, results = model.apply(state.params, val_batch, t_mid, rng)
+                _, results = metric_apply(state.params, val_batch, t_mid,
+                                          rng)
                 extra = " " + " ".join(
                     f"{name}={fn(jax.tree.map(np.asarray, results)):.4f}"
                     for name, fn in metric_fns.items())

@@ -60,17 +60,22 @@ def make_eval_step(model, eval_interval: int = 10) -> Callable:
     def eval_fn(params, batch, rng) -> Dict[str, jnp.ndarray]:
         b = batch.batch_size
         import numpy as np
-        times = np.linspace(0, model.num_timesteps - 1, eval_interval)
-        total = None
-        for i, tv in enumerate(times):
-            t = jnp.full((b,), int(round(float(tv))), jnp.int32)
-            loss_dict, _ = model.apply(params, batch, t,
-                                       jax.random.fold_in(rng, i))
-            if total is None:
-                total = {k: v / len(times) for k, v in loss_dict.items()}
-            else:
-                total = {k: total[k] + v / len(times)
-                         for k, v in loss_dict.items()}
+        times = jnp.asarray(
+            np.round(np.linspace(0, model.num_timesteps - 1,
+                                 eval_interval)).astype(np.int32))
+
+        # lax.scan over the timesteps: the model body compiles ONCE, not
+        # eval_interval times (an unrolled 10-forward graph takes tens of
+        # minutes on remote-compile platforms)
+        def body(_, ti):
+            tv, i = ti
+            t = jnp.full((b,), tv, jnp.int32)
+            loss_dict, _res = model.apply(params, batch, t,
+                                          jax.random.fold_in(rng, i))
+            return None, loss_dict
+        _, stacked = jax.lax.scan(
+            body, None, (times, jnp.arange(eval_interval)))
+        total = {k: v.mean(0) for k, v in stacked.items()}
         total["loss"] = model.weighted_loss(total)
         return total
 
