@@ -17,6 +17,18 @@ from ..utils.geometry import safe_norm
 
 EPS = 1e-6
 
+# torch nn.Linear default init: U(+-1/sqrt(fan_in)), std = 1/sqrt(3*fan_in).
+# flax's lecun_normal is 1.73x larger per layer; the GVP stack multiplies
+# features (node x edge gates), so the mismatch compounds to ~15x at the
+# Pocket2Mol energy head and pins its clamped losses at init. Match torch.
+TORCH_LINEAR_INIT = nn.initializers.variance_scaling(1 / 3, "fan_in",
+                                                     "uniform")
+
+
+def TDense(features, use_bias=True, name=None):
+    return nn.Dense(features, use_bias=use_bias, name=name,
+                    kernel_init=TORCH_LINEAR_INIT)
+
 
 class VNLinear(nn.Module):
     out_channels: int
@@ -25,7 +37,7 @@ class VNLinear(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: [..., V, 3] -> linear mix over the V channel axis
-        return nn.Dense(self.out_channels, use_bias=self.use_bias)(
+        return TDense(self.out_channels, use_bias=self.use_bias)(
             jnp.swapaxes(x, -1, -2)).swapaxes(-1, -2)
 
 
@@ -35,7 +47,7 @@ class VNLeakyReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        d = nn.Dense(self.in_channels, use_bias=False)(
+        d = TDense(self.in_channels, use_bias=False)(
             jnp.swapaxes(x, -1, -2)).swapaxes(-1, -2)
         dot = jnp.sum(x * d, axis=-1, keepdims=True)
         mask = (dot >= 0).astype(x.dtype)
@@ -57,10 +69,10 @@ class GVLinear(nn.Module):
         vec_inter = VNLinear(dim_hid, name="lin_vector")(vec)
         vec_norm = safe_norm(vec_inter, axis=-1)
         sca_cat = jnp.concatenate([vec_norm, sca], axis=-1)
-        out_sca = nn.Dense(self.out_scalar, use_bias=False,
+        out_sca = TDense(self.out_scalar, use_bias=False,
                            name="lin_scalar")(sca_cat)
         out_vec = VNLinear(self.out_vector, name="lin_vector2")(vec_inter)
-        gate = nn.sigmoid(nn.Dense(self.out_vector,
+        gate = nn.sigmoid(TDense(self.out_vector,
                                    name="scalar_to_vector_gates")(out_sca))
         return out_sca, gate[..., None] * out_vec
 
@@ -93,10 +105,10 @@ class MessageModule(nn.Module):
         edge_sca, edge_vec = GVPerceptronVN(self.hid_sca, self.hid_vec,
                                             name="edge_gvp")(edge_feats)
 
-        y_sca = node_sca * nn.Dense(self.out_sca, name="sca_linear")(edge_sca)
-        y_node_vec = nn.Dense(self.out_vec, name="e2n_linear")(
+        y_sca = node_sca * TDense(self.out_sca, name="sca_linear")(edge_sca)
+        y_node_vec = TDense(self.out_vec, name="e2n_linear")(
             edge_sca)[..., None] * node_vec
-        y_edge_vec = nn.Dense(self.out_vec, name="n2e_linear")(
+        y_edge_vec = TDense(self.out_vec, name="n2e_linear")(
             node_sca)[..., None] * VNLinear(self.out_vec,
                                             name="edge_vnlinear")(edge_vec)
         y_vec = y_node_vec + y_edge_vec
@@ -119,5 +131,5 @@ class VecExpansion(nn.Module):
     def __call__(self, edge_vector):
         v = edge_vector / (safe_norm(edge_vector, axis=-1,
                                      keepdims=True) + 1e-7)
-        return nn.Dense(self.edge_channels, use_bias=False)(
+        return TDense(self.edge_channels, use_bias=False)(
             v[..., None]).swapaxes(-1, -2)
