@@ -199,6 +199,23 @@ def main(argv=None):
     indices = [args.index] if args.index is not None else range(len(ds))
     os.makedirs(args.out_root, exist_ok=True)
     summary = []
+
+    if model_cfg["type"] in ("difffg", "difffg_v2"):
+        # D3FG stage 1 writes FG context pools, not SDFs (reference:
+        # sample.py:239-241); stage 2 runs via cli/d3fg_two_stage or a
+        # linker config with the load_ctx transform
+        from ..sampling.d3fg_stage import run_stage1
+        for i in indices:
+            t_start = time.time()
+            pool = run_stage1(model, params, ds, i, num_samples,
+                              args.batch_size, args.out_root, rng_seed=seed)
+            dt = time.time() - t_start
+            log.info("pocket %d: stage-1 FG pool at %s | %.1fs", i, pool, dt)
+            summary.append({"index": int(i), "pool": pool, "seconds": dt})
+        with open(os.path.join(args.out_root, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        return summary
+
     for i in indices:
         name = os.path.splitext(os.path.basename(ds.pairs[i][1]))[0]
         out_dir = os.path.join(args.out_root, f"{i:04d}_{name}")
@@ -226,7 +243,8 @@ def main(argv=None):
                 ds, i, num_samples, args.batch_size, transform, seed=seed,
                 lig_cap=args.lig_cap, rec_cap=rec_cap_i)
         for bi, batch in enumerate(iterator):
-            if isinstance(batch, tuple) and batch[0] == "mols":
+            if isinstance(batch, tuple) and isinstance(batch[0], str) \
+                    and batch[0] == "mols":
                 # FLAG yields whole molecules (bonds known from templates)
                 for mol in batch[1]:
                     if n_done >= num_samples:

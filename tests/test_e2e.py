@@ -149,3 +149,82 @@ sampling: {num_samples: 2, seed: 7}
     for s in sdfs:
         mols = read_sdf(s)
         assert mols and mols[0].num_atoms >= 2
+
+
+def test_cli_sample_pocket2mol_and_d3fg_stage1(tmp_path):
+    """CLI sampling for the AR path (pocket2mol tuple batches) and the
+    D3FG stage-1 pool path (difffg writes gen_ctx_pool, not SDFs)."""
+    import glob
+    import os
+    from cbgbench_tpu.cli.train_cli import main as train_main
+    from cbgbench_tpu.cli.sample_cli import main as sample_main
+
+    # --- tiny pocket2mol ---
+    p2m_cfg = str(tmp_path / "p2m.yml")
+    with open(p2m_cfg, "w") as f:
+        f.write("""
+model:
+  type: pocket2mol
+  encoder: {type: gvptransformer, node_feat_dim: 16, vec_feat_dim: 8,
+            num_layers: 1, k: 8}
+  mode: add_aromatic
+data:
+  train: {name: pl_fa, raw_path: assets/examples, pocket_radius: 10.0,
+          transform: []}
+  test: {name: pl_fa, raw_path: assets/examples, pocket_radius: 10.0,
+         transform: []}
+train:
+  loss_weights: {atom: 1.0, edge: 1.0}
+  max_iters: 1
+  report_freq: 1
+  batch_size: 2
+  seed: 0
+  optimizer: {type: adam, lr: 2.e-4}
+sampling: {num_samples: 2, seed: 5}
+""")
+    train_main(["--config", p2m_cfg, "--logdir", str(tmp_path), "--tag",
+                "p", "--device", "cpu", "--no_tensorboard"])
+    out = str(tmp_path / "res_p2m")
+    sample_main(["--config", p2m_cfg,
+                 "--checkpoint", str(tmp_path / "p" / "checkpoints"),
+                 "--out_root", out, "--num_samples", "2",
+                 "--batch_size", "2", "--index", "0", "--device", "cpu",
+                 "--lig_cap", "48"])
+    assert os.path.exists(os.path.join(out, "summary.json"))
+
+    # --- tiny difffg stage 1 ---
+    fg_cfg = str(tmp_path / "fg.yml")
+    with open(fg_cfg, "w") as f:
+        f.write("""
+model:
+  type: difffg
+  encoder: {type: ipatransformer, node_feat_dim: 16, num_layers: 1}
+  generator:
+    pos_schedule: {type: cosine, cosine_s: 0.01}
+    rot_schedule: {type: sigmoid, cosine_s: 0.008}
+    fg_schedule: {type: cosine, cosine_s: 0.01}
+    num_diffusion_timesteps: 6
+    time_sampler: symmetric
+data:
+  train: {name: pl_fg, raw_path: assets/examples, pocket_radius: 10.0,
+          transform: []}
+  test: {name: pl_fg, raw_path: assets/examples, pocket_radius: 10.0,
+         transform: []}
+train:
+  loss_weights: {fg: 1.0, pos: 1.0, rot: 1.0}
+  max_iters: 1
+  report_freq: 1
+  batch_size: 2
+  seed: 0
+  optimizer: {type: adam, lr: 5.e-4}
+sampling: {num_samples: 2, seed: 5}
+""")
+    train_main(["--config", fg_cfg, "--logdir", str(tmp_path), "--tag",
+                "g", "--device", "cpu", "--no_tensorboard"])
+    out2 = str(tmp_path / "res_fg")
+    sample_main(["--config", fg_cfg,
+                 "--checkpoint", str(tmp_path / "g" / "checkpoints"),
+                 "--out_root", out2, "--num_samples", "2",
+                 "--batch_size", "2", "--index", "0", "--device", "cpu"])
+    pools = glob.glob(os.path.join(out2, "gen_ctx_pool_*.pkl"))
+    assert pools, "stage-1 pool not written"
