@@ -176,7 +176,18 @@ class UniTransformer(nn.Module):
                                               self.num_r_gaussian)
 
         for _ in range(self.num_blocks):
-            idx, valid = knn_neighbors(x, mask, self.k)
+            # reference edge schemes (unitransformer.py:75-86): 'knn'
+            # (config default), 'hybrid' (lig->k lig + k rec, rec->k any),
+            # 'radius' (k nearest capped to the r_max ball)
+            if self.cutoff_mode == "hybrid":
+                from ..ops.knn import hybrid_neighbors
+                idx, valid = hybrid_neighbors(x, mask, lig_flag, self.k)
+            else:
+                idx, valid = knn_neighbors(x, mask, self.k)
+                if self.cutoff_mode == "radius":
+                    rel_r = x[..., :, None, :] - gather_neighbors(x, idx)
+                    valid = valid & (
+                        jnp.sum(rel_r * rel_r, -1) <= self.r_max ** 2)
             edge_attr = build_edge_type(lig_flag, idx, valid)
             if self.ew_net_type == "global":
                 rel = x[..., :, None, :] - gather_neighbors(x, idx)

@@ -126,3 +126,26 @@ def test_hybrid_neighbors_shapes():
             srcs2 = idx_np[bi, i, 4:][val_np[bi, i, 4:]]
             assert lig_np[bi][srcs1].all()
             assert (~lig_np[bi][srcs2]).all()
+
+
+def test_unitransformer_cutoff_modes():
+    """hybrid + radius edge schemes run and differ from plain knn."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cbgbench_tpu.nn.unitransformer import UniTransformer
+    rng = np.random.default_rng(0)
+    B, N, D = 2, 64, 32
+    x = jnp.asarray(rng.standard_normal((B, N, 3)) * 6, jnp.float32)
+    h = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    mask = jnp.ones((B, N), bool)
+    lig = jnp.asarray(rng.random((B, N)) > 0.7)
+    kw = dict(num_classes=8, num_layers=1, hidden_dim=D, n_heads=4, k=8)
+    outs = {}
+    for mode in ("knn", "hybrid", "radius"):
+        m = UniTransformer(cutoff_mode=mode, **kw)
+        p = m.init(jax.random.PRNGKey(0), x, h, mask, lig, lig)
+        xo, ho, _ = m.apply(p, x, h, mask, lig, lig)
+        assert np.isfinite(np.asarray(ho)).all(), mode
+        outs[mode] = np.asarray(ho)
+    assert not np.allclose(outs["knn"], outs["hybrid"])
