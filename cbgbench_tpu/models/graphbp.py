@@ -333,5 +333,5 @@ def sample_graphbp(model: GraphBP, params, batch: GraphBPBatch, rng,
             gen[g, slot] = True
         batch = batch.replace(z=jnp.asarray(z), pos=jnp.asarray(pos),
                               mask=jnp.asarray(mask), gen_flag=jnp.asarray(gen))
-    return {"z": batch.z, "pos": batch.pos,
+    return {"z": batch.z, "pos": batch.pos, "mask": batch.mask,
             "gen_flag": batch.gen_flag & batch.mask}

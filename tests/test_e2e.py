@@ -228,3 +228,41 @@ sampling: {num_samples: 2, seed: 5}
                  "--batch_size", "2", "--index", "0", "--device", "cpu"])
     pools = glob.glob(os.path.join(out2, "gen_ctx_pool_*.pkl"))
     assert pools, "stage-1 pool not written"
+
+
+def test_cli_sample_graphbp(tmp_path):
+    """GraphBP CLI sampling: sequential flow growth through the real CLI."""
+    import os
+    from cbgbench_tpu.cli.train_cli import main as train_main
+    from cbgbench_tpu.cli.sample_cli import main as sample_main
+
+    cfg = str(tmp_path / "gbp.yml")
+    with open(cfg, "w") as f:
+        f.write("""
+model:
+  type: graphbp
+  encoder: {type: schnet, node_feat_dim: 16, num_layers: 1, k: 8}
+  mode: basic
+data:
+  train: {name: pl_fa, raw_path: assets/examples, pocket_radius: 10.0,
+          transform: []}
+  test: {name: pl_fa, raw_path: assets/examples, pocket_radius: 10.0,
+         transform: []}
+train:
+  loss_weights: {type: 1.0, dist: 1.0, angle: 1.0, torsion: 1.0,
+                 focus: 1.0, contact: 1.0}
+  max_iters: 1
+  report_freq: 1
+  batch_size: 2
+  seed: 0
+  optimizer: {type: adam, lr: 1.e-4}
+sampling: {num_samples: 2, seed: 5}
+""")
+    train_main(["--config", cfg, "--logdir", str(tmp_path), "--tag", "g",
+                "--device", "cpu", "--no_tensorboard"])
+    out = str(tmp_path / "res")
+    sample_main(["--config", cfg,
+                 "--checkpoint", str(tmp_path / "g" / "checkpoints"),
+                 "--out_root", out, "--num_samples", "2",
+                 "--batch_size", "2", "--index", "0", "--device", "cpu"])
+    assert os.path.exists(os.path.join(out, "summary.json"))
