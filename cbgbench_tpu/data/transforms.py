@@ -221,13 +221,26 @@ def _apply_gen_ctx(s: dict, gen: np.ndarray, ctx: np.ndarray) -> dict:
     return s
 
 
+def _decomp_rng(s, rng, deterministic: bool):
+    """Test-time decomposition must pick the SAME cut for every replica of
+    a pocket (the reference precomputes decomp datasets, so all 100
+    samples share one kept fragment; stochastic per-replica cuts are a
+    train-time augmentation only). Deterministic mode derives the rng from
+    the complex name."""
+    if not deterministic:
+        return rng
+    import zlib
+    return np.random.default_rng(zlib.crc32(str(s.get("name", "")).encode()))
+
+
 @TRANSFORMS.register("select_linker")
-def select_linker(**kw):
+def select_linker(deterministic: bool = False, **kw):
     """Linker design: generate the middle linker between two kept fragments
     (reference: molecule_parser.py linker_decomp + select.py)."""
     from ..chem.decomp import linker_decomp
 
     def fn(s, rng):
+        rng = _decomp_rng(s, rng, deterministic)
         mol = _mol_from_ligand_dict(s["ligand"])
         out = linker_decomp(mol, rng)
         if out is None:            # fall back to BFS mask-style split
@@ -240,11 +253,12 @@ def select_linker(**kw):
 
 
 @TRANSFORMS.register("select_frag")
-def select_frag(**kw):
+def select_frag(deterministic: bool = False, **kw):
     """Fragment growing: keep one fragment, generate the rest."""
     from ..chem.decomp import fragment_decomp
 
     def fn(s, rng):
+        rng = _decomp_rng(s, rng, deterministic)
         mol = _mol_from_ligand_dict(s["ligand"])
         out = fragment_decomp(mol, rng)
         if out is None:

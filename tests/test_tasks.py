@@ -82,3 +82,28 @@ def test_task_transforms(task):
     assert gen.any()
     assert gen.dtype == bool
     assert len(gen) == len(s["ligand"]["atype"])
+
+
+def test_test_time_decomp_is_deterministic_per_complex():
+    """deterministic: true pins one cut per complex across replicas (the
+    reference's precomputed decomp datasets share one fragment across all
+    samples of a pocket)."""
+    import numpy as np
+    from cbgbench_tpu.data.dataset import RawPairDataset, example_pairs
+    from cbgbench_tpu.data.transforms import compose
+    ds = RawPairDataset(example_pairs(), mode="add_aromatic",
+                        pocket_radius=10.0)
+    for kind in ("select_frag", "select_linker"):
+        tf = compose([{"type": kind, "deterministic": True}])
+        flags = []
+        for seed in (0, 1, 2):
+            rng = np.random.default_rng(seed)
+            s = tf(ds.get(0, rng), rng)
+            flags.append(np.asarray(s["ligand"]["gen_flag"], bool))
+        assert (flags[0] == flags[1]).all() and (flags[1] == flags[2]).all()
+        # stochastic mode must actually vary (else the flag is meaningless)
+        tf2 = compose([{"type": kind}])
+        v = [np.asarray(tf2(ds.get(0, np.random.default_rng(s)),
+                            np.random.default_rng(s))["ligand"]["gen_flag"],
+                        bool) for s in range(6)]
+        assert any((v[0] != x).any() for x in v[1:])
