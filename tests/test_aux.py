@@ -208,3 +208,36 @@ def test_loader_carries_buffer_across_epochs():
     loader = make_loader(ds, batch_size=8, lig_cap=96, rec_cap=928)
     b = next(loader)
     assert b.ligand.pos.shape[0] == 8
+
+
+def test_extract_pockets_script(tmp_path):
+    """scripts/extract_pockets.py reproduces pocket_shell's residue
+    selection while preserving the original ATOM records (reference:
+    scripts/extract_pockets.py:23-48)."""
+    import os
+    import sys
+    sys.path.insert(0, "scripts")
+    from extract_pockets import main as extract_main
+    from cbgbench_tpu.chem.mol2 import read_ligand
+    from cbgbench_tpu.chem.pdb import parse_pdb_pocket, pocket_shell
+
+    dest = str(tmp_path / "pocket10")
+    extract_main(["--source", "assets/examples/Eg5", "--dest", dest,
+                  "--workers", "1"])
+    a_new, r_new = parse_pdb_pocket(
+        os.path.join(dest, "3zcw_ligand_pocket10.pdb"))
+    a_raw, r_raw = parse_pdb_pocket("assets/examples/Eg5/3zcw_protein.pdb")
+    lig = read_ligand("assets/examples/Eg5/3zcw_ligand.sdf")[0]
+    a_sh, r_sh = pocket_shell(a_raw, r_raw, lig.pos, 10.0)
+    assert len(r_new.aa) == len(r_sh.aa)
+    assert len(a_new.element) == len(a_sh.element)
+    np.testing.assert_allclose(np.sort(a_new.pos, 0), np.sort(a_sh.pos, 0))
+    # original ATOM records preserved byte-for-byte
+    raw_lines = {l for l in open("assets/examples/Eg5/3zcw_protein.pdb")
+                 if l.startswith("ATOM")}
+    new_lines = [l for l in open(os.path.join(
+        dest, "3zcw_ligand_pocket10.pdb")) if l.startswith("ATOM")]
+    assert new_lines and all(l in raw_lines for l in new_lines)
+    import pickle
+    idx = pickle.load(open(os.path.join(dest, "index.pkl"), "rb"))
+    assert idx[0][0] == "3zcw_ligand_pocket10.pdb"
