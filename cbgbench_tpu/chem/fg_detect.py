@@ -137,15 +137,21 @@ def _frame_from_anchors(pos: np.ndarray, anchors: List[int]):
 
 
 def rotation_to_so3vec(R: np.ndarray) -> np.ndarray:
-    """Axis-angle (so3) vector of a rotation matrix
-    (reference: frame_fg.py:49-73 log_rotation + skewsym_to_so3vec)."""
-    trace = np.trace(R)
-    cos_theta = np.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    sin_theta = np.sqrt(max(1.0 - cos_theta ** 2, 0.0))
+    """Axis-angle (so3) vector of rotation matrices [..., 3, 3] -> [..., 3]
+    (reference: frame_fg.py:49-73 log_rotation + skewsym_to_so3vec).
+
+    Pure numpy on purpose: host loaders MUST NOT touch jax — on
+    remote-compile platforms a per-sample device dispatch queues behind
+    in-flight compiles and stalls training. The 0.999 clamp keeps the
+    theta~pi pole finite (matches utils/so3)."""
+    trace = np.trace(R, axis1=-2, axis2=-1)
+    cos_theta = np.clip((trace - 1.0) / 2.0, -0.999, 1.0)
+    sin_theta = np.sqrt(np.maximum(1.0 - cos_theta ** 2, 0.0))
     theta = np.arccos(cos_theta)
-    coef = (theta + 1e-8) / (2.0 * sin_theta + 2e-8)
-    logR = coef * (R - R.T)
-    return np.array([logR[1, 2], logR[2, 0], logR[0, 1]])
+    coef = ((theta + 1e-8) / (2.0 * sin_theta + 2e-8))[..., None, None]
+    S = coef * (R - np.swapaxes(R, -1, -2))
+    return np.stack([S[..., 1, 2], S[..., 2, 0], S[..., 0, 1]],
+                    axis=-1).astype(np.float32)
 
 
 # chirality-split motifs: local coords are compared against the two
@@ -175,6 +181,10 @@ def assign_chirality(key: str, local_pos: np.ndarray) -> str:
     molecule_parser.py:710-737 prepare_fg_atom with ALIGNED_RMSD=0.3)."""
     if key not in _CHIRAL_SPLITS:
         return key
+    # deliberately threshold-only (NOT argmin over both templates): the
+    # reference compares against template 1 alone and labels everything
+    # above ALIGNED_RMSD as class 2 (molecule_parser.py:711-721), so a
+    # distorted motif far from both templates is class 2 by definition
     rmsd1 = _template_rmsd(local_pos, key, "1")
     if rmsd1 <= ALIGNED_RMSD:
         return f"{key}_1"

@@ -138,7 +138,10 @@ def evaluate_folder(result_root: str, num_samples: int = 200,
     if run_vina:
         from ..tools.docking import available
         caps = available()
-        vina_ready = caps["vina_python"] and caps["meeko"]
+        # obabel is required too: receptor pdbqt conversion has no other
+        # route (docking.py _prepare), so without it every docking call
+        # fails after wasted ligand prep while the report claims capability
+        vina_ready = caps["vina_python"] and caps["meeko"] and caps["obabel"]
     else:
         vina_ready = False
 

@@ -53,8 +53,10 @@ def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
     def generic(build, stack):
         rng = np.random.default_rng(seed)
         buf = []               # carried across epochs: datasets smaller
+        dry_epochs = 0         # consecutive epochs with zero yields
         while True:            # than batch_size still fill batches
             n_built = 0
+            n_yielded = 0
             order = rng.permutation(len(ds))
             for i in order:
                 try:
@@ -69,13 +71,26 @@ def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
                 if len(buf) == batch_size:
                     try:
                         yield stack(buf)
+                        n_yielded += 1
                     except ValueError:
                         pass       # a sample exceeded the shape bucket
                     buf = []
-            if n_built == 0 and not buf:
+            # no-progress guard: samples that build but always overflow the
+            # shape bucket at stack() must also trip this, or next(loader)
+            # blocks forever (n_built alone can stay > 0 in that state).
+            # Tiny fixture datasets legitimately have unlucky epochs (every
+            # stack attempt contains the one oversized sample), so only
+            # several CONSECUTIVE dry epochs with real batch attempts —
+            # or a totally empty epoch — count as no progress.
+            attempted = n_built >= batch_size
+            dry_epochs = dry_epochs + 1 if (
+                n_yielded == 0 and (attempted or (n_built == 0 and not buf))
+            ) else 0
+            if dry_epochs >= (10 if attempted else 1):
                 raise RuntimeError(
-                    "no sample built in a full epoch: every sample failed "
-                    "to build or exceeded the shape bucket (lig_cap="
+                    "no batch yielded in "
+                    f"{dry_epochs} consecutive epoch(s): every sample "
+                    "failed to build or exceeded the shape bucket (lig_cap="
                     f"{lig_cap}, rec_cap={rec_cap}); use larger caps")
 
     if model_type == "pocket2mol":

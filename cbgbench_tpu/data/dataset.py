@@ -329,18 +329,25 @@ class CrossDockedShards:
         self.transform = transform
         self.mode = mode
         self._cache: "dict[int, dict]" = {}
+        import threading
+        self._cache_lock = threading.Lock()
 
     def __len__(self):
         return len(self.names)
 
     def _shard(self, si: int) -> dict:
-        if si not in self._cache:
-            import pickle
-            with open(os.path.join(self.root, self.shards[si]), "rb") as f:
-                self._cache[si] = pickle.load(f)
-            while len(self._cache) > 2:          # LRU-2: drop oldest
-                self._cache.pop(next(iter(self._cache)))
-        return self._cache[si]
+        # lock: the train prefetch thread and the main-thread val loader
+        # share one dataset object; unsynchronized insert+evict races a
+        # concurrent reader into KeyError
+        with self._cache_lock:
+            if si not in self._cache:
+                import pickle
+                with open(os.path.join(self.root, self.shards[si]),
+                          "rb") as f:
+                    self._cache[si] = pickle.load(f)
+                while len(self._cache) > 2:      # LRU-2: drop oldest
+                    self._cache.pop(next(iter(self._cache)))
+            return self._cache[si]
 
     def get(self, i: int, rng: np.random.Generator) -> dict:
         import copy

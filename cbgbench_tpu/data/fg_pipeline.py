@@ -23,19 +23,7 @@ from ..utils.so3 import rotation_to_so3vec, so3vec_to_rotation
 from .batch import FGBatch, FGNodes, ResidueNodes
 
 
-def _np_rotation_to_so3vec(R: np.ndarray) -> np.ndarray:
-    """numpy port of utils.so3.rotation_to_so3vec (log map). The host
-    loader MUST NOT touch jax: on remote-compile platforms a per-sample
-    device dispatch queues behind in-flight compiles and stalls training
-    (observed as a 'validation hang' on the q2_d3fg run)."""
-    trace = np.trace(R, axis1=-2, axis2=-1)
-    cos_theta = np.clip((trace - 1) / 2, -0.999, 1.0)
-    sin_theta = np.sqrt(np.maximum(1 - cos_theta ** 2, 0.0))
-    theta = np.arccos(cos_theta)
-    coef = ((theta + 1e-8) / (2 * sin_theta + 2e-8))[..., None, None]
-    S = coef * (R - np.swapaxes(R, -1, -2))
-    return np.stack([S[..., 1, 2], S[..., 2, 0], S[..., 0, 1]],
-                    axis=-1).astype(np.float32)
+from ..chem.fg_detect import rotation_to_so3vec as _np_rotation_to_so3vec
 
 
 def build_fg_sample(sample: dict, mode: str = "basic") -> dict:

@@ -45,6 +45,11 @@ def sample_count_from_prior(space_size: float, prior: dict,
         if b > space_size:
             bin_idx = i
             break
+    # overflow: the reference's _atom_num prior carries len(bounds)+1 bins
+    # (last = everything) but its _linker/_fg priors carry exactly
+    # len(bounds) — clamp so oversized pockets use the widest bin instead
+    # of raising IndexError
+    bin_idx = min(bin_idx, len(prior["bins"]) - 1)
     nums, probs = prior["bins"][bin_idx]
     return int(rng.choice(nums, p=np.asarray(probs) / np.sum(probs)))
 

@@ -105,6 +105,14 @@ class E3DualAttentionLayer(nn.Module):
             h_src = h_src.astype(h.dtype)
 
         for i in range(self.num_x2h):
+            if i > 0 and h_src is not None:
+                # reference parity: scatter-based X2H reads h_j from the
+                # CURRENT h_in each sub-iteration, so the precomputed
+                # gather must be refreshed (fused paths gather in-kernel
+                # from the h they receive and need nothing here)
+                (h_src,) = smart_gather([h_in.astype(gdt)], idx,
+                                        method=self.gather_method)
+                h_src = h_src.astype(h.dtype)
             h_in = X2HAttnFused(out_fc=self.x2h_out_fc, name=f"x2h_{i}",
                                 **common)(h_in, valid, ew, h_src=h_src,
                                           edge_feat=edge_feat, idx=idx,

@@ -99,13 +99,10 @@ def pallas_gather_rows(src: jnp.ndarray, idx: jnp.ndarray,
 
 
 def _split_bf16x3(x: jnp.ndarray) -> List[jnp.ndarray]:
-    """Exact-ish f32 -> 3 bf16 planes (hi, mid, lo residuals)."""
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    r2 = r1 - mid.astype(jnp.float32)
-    lo = r2.astype(jnp.bfloat16)
-    return [hi, mid, lo]
+    """f32 -> 3 exact bf16 planes; single implementation lives in ops.knn
+    (_split_planes) so accuracy fixes propagate to every gather path."""
+    from .knn import _split_planes
+    return list(_split_planes(x))
 
 
 def fused_gather(tensors: Sequence[jnp.ndarray], idx: jnp.ndarray,

@@ -50,7 +50,9 @@ def plip_analysis(mol: Molecule, protein_pdb: str) -> Dict[str, int]:
                    "pi_stack": "pistack", "pi_cation_interaction": "pication",
                    "halogen_bond": "halogen", "metal_complex": "metal"}
         for xml_tag, name in tag_map.items():
-            counts[name] = len(tree.getroot().iter(xml_tag.rstrip("s")))
+            # iter() returns a generator — len() on it raises TypeError,
+            # which the caller's fallback swallowed, silently masking PLIP
+            counts[name] = sum(1 for _ in tree.getroot().iter(xml_tag))
         return {k: counts.get(k, 0) for k in INTERACTION_TYPES}
 
 
@@ -136,9 +138,16 @@ def _protein_rings_and_cations(atoms):
     return rings, cations
 
 
+_WATER_METAL_CACHE: dict = {}
+
+
 def _scan_waters_and_metals(protein_pdb: str):
     """Water oxygens + metal ions from the raw PDB text (parse_pdb_pocket
-    drops both — waters lack frames, metals aren't pocket element types)."""
+    drops both — waters lack frames, metals aren't pocket element types).
+    Cached per path: the caller runs once per generated molecule (~100x
+    per pocket) against an invariant protein file."""
+    if protein_pdb in _WATER_METAL_CACHE:
+        return _WATER_METAL_CACHE[protein_pdb]
     waters, metals = [], []
     try:
         with open(protein_pdb) as f:
@@ -158,7 +167,12 @@ def _scan_waters_and_metals(protein_pdb: str):
                     metals.append(xyz)
     except OSError:
         pass
-    return np.asarray(waters).reshape(-1, 3), np.asarray(metals).reshape(-1, 3)
+    out = (np.asarray(waters).reshape(-1, 3),
+           np.asarray(metals).reshape(-1, 3))
+    if len(_WATER_METAL_CACHE) > 64:    # bounded: one entry per pocket
+        _WATER_METAL_CACHE.clear()
+    _WATER_METAL_CACHE[protein_pdb] = out
+    return out
 
 
 def geometric_interactions(mol: Molecule, protein_pos, protein_elements,

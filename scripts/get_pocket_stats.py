@@ -84,6 +84,11 @@ def main(argv=None):
                 per_bin[i].append(int(n))
     bounds = bounds[1:]
     per_bin = per_bin[1:]
+    # overflow bin: sample_count_from_prior indexes bins[len(bounds)] when
+    # a pocket's space_size >= every bound (the bundled reference priors
+    # carry len(bounds)+1 bins for exactly this reason) — use the full
+    # empirical distribution there
+    per_bin.append([int(n) for n in counts])
     bins = []
     for vals in per_bin:
         if not vals:

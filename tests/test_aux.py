@@ -241,3 +241,25 @@ def test_extract_pockets_script(tmp_path):
     import pickle
     idx = pickle.load(open(os.path.join(dest, "index.pkl"), "rb"))
     assert idx[0][0] == "3zcw_ligand_pocket10.pdb"
+
+
+def test_loader_no_progress_guard_raises_not_hangs():
+    """A loader whose every batch overflows the shape bucket must raise
+    (previously: samples built fine, every stack() failed, and
+    next(loader) blocked forever); occasional dry epochs must NOT raise."""
+    import pytest
+    from cbgbench_tpu.cli.train_cli import make_model_loader
+    from cbgbench_tpu.data.dataset import RawPairDataset, example_pairs
+
+    ds = RawPairDataset(example_pairs()[:2], mode="add_aromatic",
+                        pocket_radius=10.0)
+    # caps far below any real pocket: every stack raises ValueError
+    loader = make_model_loader("pocket2mol", ds, batch_size=2,
+                               lig_cap=2, rec_cap=8, seed=0)
+    with pytest.raises(RuntimeError, match="use larger caps"):
+        next(loader)
+    # sane caps on the same dataset yield normally
+    ok = make_model_loader("pocket2mol", ds, batch_size=2,
+                           lig_cap=96, rec_cap=928, seed=0)
+    batch = next(ok)
+    assert batch is not None
