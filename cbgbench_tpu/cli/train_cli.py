@@ -292,6 +292,7 @@ def main(argv=None):
     val_freq = cfg.get("eval", {}).get("val_freq", 1000)
     t_start = time.time()
     best_val = float("inf")
+    val_loss = None
     profile_at = (start_it + 3) if args.profile else -1
     for it in range(start_it + 1, max_iters + 1):
         if it == profile_at:
@@ -340,8 +341,11 @@ def main(argv=None):
                 path = save_checkpoint(ckpt_dir, it, state, cfg.to_dict(),
                                        plateau.state_dict(), val_loss)
                 log.info("saved checkpoint %s (val %.4f)", path, val_loss)
+    # the final checkpoint records ITS OWN last-computed val loss, not the
+    # best-so-far: meta.avg_val_loss is what best-checkpoint selection
+    # reads, and the final params are not the best-val params
     save_checkpoint(ckpt_dir, max_iters, state, cfg.to_dict(),
-                    plateau.state_dict(), best_val)
+                    plateau.state_dict(), val_loss)
     scalars.close()
     log.info("done: %d iters", max_iters)
     return state
