@@ -104,18 +104,18 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
             atype = np.clip(z_raw, 0, model.num_classes - 1)
             yield np.asarray(out["pos"]), atype, lig_nodes
         elif model_type == "flag":
-            from ..sampling.flag_sample import sample_flag, vocab_from_dataset
+            from ..sampling.flag_sample import (sample_flag_batch,
+                                                vocab_from_dataset)
             if not hasattr(ds, "_flag_vocab"):
                 ds._flag_vocab = vocab_from_dataset(ds)
-            mols = []
-            for s in range(bs):
-                m = sample_flag(model, params, base, ds._flag_vocab,
-                                seed=seed + bi * 997 + s,
-                                max_steps=lig_cap // 4,
-                                lig_cap=min(lig_cap, 64), rec_cap=rec_cap)
-                if m is not None:
-                    mols.append(m)
-            yield ("mols", mols)
+            # one device call per growth round for the whole batch
+            # (per-molecule loops cost ~48 round-trips per molecule)
+            mols = sample_flag_batch(
+                model, params, base, ds._flag_vocab,
+                seeds=[seed + bi * 997 + s for s in range(bs)],
+                max_steps=lig_cap // 4,
+                lig_cap=min(lig_cap, 64), rec_cap=rec_cap)
+            yield ("mols", [m for m in mols if m is not None])
         else:
             raise ValueError(model_type)
         done += bs
@@ -222,6 +222,7 @@ def main(argv=None):
         os.makedirs(out_dir, exist_ok=True)
         t_start = time.time()
         n_done = n_valid = 0
+        t_warm = n_warm = None   # set once the first (compiling) batch ends
         mols = []
         if model_cfg["type"] in ("pocket2mol", "graphbp", "flag"):
             batches = _sample_ar_batches(
@@ -259,6 +260,8 @@ def main(argv=None):
                                   frag)
                         mols.append(frag)
                         n_valid += 1
+                if bi == 0:
+                    t_warm, n_warm = time.time(), n_done
                 continue
             if batches is not None:
                 pos, atype, mask = batch
@@ -286,11 +289,21 @@ def main(argv=None):
                     write_sdf(os.path.join(out_dir, f"{n_valid}.sdf"), frag)
                     mols.append(frag)
                     n_valid += 1
+            if bi == 0:
+                t_warm, n_warm = time.time(), n_done
         dt = time.time() - t_start
-        log.info("pocket %d (%s): %d/%d valid | %.1fs | %.2f mol/s", i, name,
-                 n_valid, n_done, dt, n_done / max(dt, 1e-9))
+        warm_rate = None
+        if t_warm is not None and n_done > n_warm:
+            # rate excluding the first batch (jit compile + device contact
+            # land there; on remote-compile platforms that fixed cost can
+            # be minutes and swamps the cold number for one-pocket runs)
+            warm_rate = (n_done - n_warm) / max(time.time() - t_warm, 1e-9)
+        log.info("pocket %d (%s): %d/%d valid | %.1fs | %.2f mol/s%s",
+                 i, name, n_valid, n_done, dt, n_done / max(dt, 1e-9),
+                 f" | warm {warm_rate:.2f} mol/s" if warm_rate else "")
         summary.append({"index": int(i), "name": name, "n_samples": n_done,
-                        "n_valid": n_valid, "seconds": dt})
+                        "n_valid": n_valid, "seconds": dt,
+                        "warm_mol_per_s": warm_rate})
     with open(os.path.join(args.out_root, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     return summary

@@ -234,7 +234,17 @@ def build_flag_sample(sample: dict, vocab: MotifVocab,
     }
 
 
-def stack_flag_batch(samples, lig_cap=64, rec_cap=448, nf_cap=16) -> FLAGBatch:
+REC_KEYS = ("rec_pos", "rec_element", "rec_is_backbone", "rec_aa",
+            "rec_mask", "rec_contact")
+
+
+def stack_flag_batch(samples, lig_cap=64, rec_cap=448, nf_cap=16,
+                     rec_arrays=None) -> FLAGBatch:
+    """rec_arrays: optional dict of the six pre-stacked REC_KEYS device
+    arrays [B, rec_cap, ...]. The FLAG growth driver passes the same
+    device-resident receptor block every round (it never changes within a
+    pocket), skipping both the host restack and the host->device upload
+    of the dominant ~[B,928] protein payload each predict round."""
     b = len(samples)
     nc, na = samples[0]["cand_atype"].shape
     nd = len(samples[0]["dm_true"])
@@ -267,15 +277,19 @@ def stack_flag_batch(samples, lig_cap=64, rec_cap=448, nf_cap=16) -> FLAGBatch:
         tor_true=np.zeros(b, np.float32), tor_valid=np.zeros(b, bool),
         translation=np.zeros((b, 3), np.float32),
     )
+    if rec_arrays is not None:
+        for k in REC_KEYS:
+            del out[k]
     for i, s in enumerate(samples):
-        rec = s["protein"]
-        nr = len(rec["pos"])
-        out["rec_pos"][i, :nr] = rec["pos"]
-        out["rec_element"][i, :nr] = rec["element"]
-        out["rec_is_backbone"][i, :nr] = rec["is_backbone"]
-        out["rec_aa"][i, :nr] = rec["aa"]
-        out["rec_mask"][i, :nr] = True
-        out["rec_contact"][i, :nr] = s["rec_contact"]
+        if rec_arrays is None:
+            rec = s["protein"]
+            nr = len(rec["pos"])
+            out["rec_pos"][i, :nr] = rec["pos"]
+            out["rec_element"][i, :nr] = rec["element"]
+            out["rec_is_backbone"][i, :nr] = rec["is_backbone"]
+            out["rec_aa"][i, :nr] = rec["aa"]
+            out["rec_mask"][i, :nr] = True
+            out["rec_contact"][i, :nr] = s["rec_contact"]
         nl = len(s["ctx_atype"])
         out["ctx_pos"][i, :nl] = s["ctx_pos"]
         out["ctx_atype"][i, :nl] = s["ctx_atype"]
@@ -291,4 +305,7 @@ def stack_flag_batch(samples, lig_cap=64, rec_cap=448, nf_cap=16) -> FLAGBatch:
                   "tor_nbr", "tor_new_atype", "tor_true", "tor_valid",
                   "translation"):
             out[k][i] = s[k]
-    return FLAGBatch(**{k: jnp.asarray(v) for k, v in out.items()})
+    arrays = {k: jnp.asarray(v) for k, v in out.items()}
+    if rec_arrays is not None:
+        arrays.update(rec_arrays)
+    return FLAGBatch(**arrays)

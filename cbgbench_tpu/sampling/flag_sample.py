@@ -114,6 +114,32 @@ def _jit_predict(model, params, batch, from_protein=False):
                        method="predict_step")
 
 
+@functools.partial(__import__("jax").jit,
+                   static_argnames=("model", "from_protein"))
+def _jit_predict_packed(model, params, batch, from_protein=False):
+    """predict_step with the six heads packed into ONE [B, total] f32
+    array. On remote-dispatch platforms every np.asarray is a separate
+    device->host round trip; packing turns 6 fetches per growth round
+    into 1 (measured: the fetch RPCs, not the forward, dominate the
+    batched FLAG sampler's wall time)."""
+    import jax.numpy as _jnp
+    outs = model.apply(params, batch, from_protein=from_protein,
+                       method="predict_step")
+    flat = [o.astype(_jnp.float32) if o.ndim == 2
+            else o[:, None].astype(_jnp.float32) for o in outs]
+    return _jnp.concatenate(flat, axis=-1)
+
+
+def _unpack_rows(packed, vocab_size, lig_cap, rec_cap, num_cand, dm_cap):
+    """Split the packed [B, total] head array back into per-row lists of
+    the six predict_step outputs (host side)."""
+    dims = [vocab_size, lig_cap, rec_cap, num_cand, dm_cap, 1]
+    splits = np.cumsum(dims)[:-1]
+    parts = np.split(np.asarray(packed), splits, axis=-1)
+    parts[-1] = parts[-1][:, 0]
+    return [[p[r] for p in parts] for r in range(packed.shape[0])]
+
+
 def vocab_from_dataset(ds) -> MotifVocab:
     """Deterministic vocabulary: decompose every dataset ligand in index
     order (train and sample CLIs call this identically, so wids agree)."""
@@ -142,13 +168,15 @@ class _GrowState:
         self.motif_wid: dict = {}
 
 
-def _make_batch(rec, st: _GrowState, focal_atoms, current_wid, cands,
-                dm, tor, lig_cap, rec_cap, num_cand, cand_atoms, dm_cap):
+def _make_sample(rec, st: _GrowState, focal_atoms, current_wid, cands,
+                 dm, tor, num_cand, dm_cap):
+    """One un-stacked predict-request sample (the driver stacks a list of
+    these across concurrently growing molecules)."""
     n = len(st.atype)
     ctx_bond = np.zeros((n, n), np.int8)
     for (a, b), cls in st.bonds.items():
         ctx_bond[a, b] = ctx_bond[b, a] = cls
-    sample = {
+    return {
         "protein": rec,
         "rec_contact": np.zeros(len(rec["pos"]), bool),
         "ctx_pos": st.pos, "ctx_atype": st.atype, "ctx_bond": ctx_bond,
@@ -164,7 +192,6 @@ def _make_batch(rec, st: _GrowState, focal_atoms, current_wid, cands,
         "tor_true": 0.0, "tor_valid": bool(tor[3]),
         "translation": np.zeros(3, np.float32),
     }
-    return stack_flag_batch([sample], lig_cap=lig_cap, rec_cap=rec_cap)
 
 
 def _empty_cands(num_cand, cand_atoms):
@@ -223,15 +250,16 @@ def _top5_sample(logits: np.ndarray, vocab_n: int,
     return int(rng.choice(top))
 
 
-def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
-                seed: int = 0, max_steps: int = 12, lig_cap: int = 64,
-                rec_cap: int = 448, num_cand: int = 8, cand_atoms: int = 48,
-                dm_cap: int = 32,
-                featurize_mode: str = "basic") -> Optional[Molecule]:
-    """Grow one ligand in the given pocket. Returns a Molecule (positions,
-    elements, bonds) or None if generation failed to start."""
-    import jax.numpy as jnp  # noqa: F401
-
+def _flag_grow(base_sample: dict, vocab: MotifVocab, seed: int = 0,
+               max_steps: int = 12, lig_cap: int = 64, num_cand: int = 8,
+               cand_atoms: int = 48, dm_cap: int = 32,
+               featurize_mode: str = "basic"):
+    """Coroutine growing ONE ligand. Yields predict requests
+    ``(from_protein, sample_dict)`` and receives the 6 per-row head
+    outputs of FLAG.predict_step; returns the final Molecule (or None)
+    via StopIteration.value. Drivers batch requests from many concurrent
+    coroutines into single device calls (sample_flag_batch) or serve them
+    one-by-one (sample_flag) — the growth logic is identical either way."""
     rng = np.random.default_rng(seed)
     rec = base_sample["protein"]
     rec_pos = np.asarray(rec["pos"], np.float32)
@@ -239,7 +267,7 @@ def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
     vocab_n = vocab.size()
     st = _GrowState()
 
-    def predict(focal_atoms, wid, cands=None, dm=None, tor=None,
+    def request(focal_atoms, wid, cands=None, dm=None, tor=None,
                 from_protein=False):
         cands = cands if cands is not None else _empty_cands(num_cand,
                                                              cand_atoms)
@@ -247,15 +275,14 @@ def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
                                         np.zeros(dm_cap, np.int32),
                                         np.zeros(dm_cap, bool))
         tor = tor if tor is not None else (0, 0, 0, False)
-        batch = _make_batch(rec, st, focal_atoms, wid, cands, dm, tor,
-                            lig_cap, rec_cap, num_cand, cand_atoms, dm_cap)
-        out = _jit_predict(model, params, batch, from_protein=from_protein)
-        return [np.asarray(o)[0] for o in out]
+        return (from_protein,
+                _make_sample(rec, st, focal_atoms, wid, cands, dm, tor,
+                             num_cand, dm_cap))
 
     # ---- init (reference sample_init) --------------------------------
-    ml, _lf, pf, *_ = predict([], vocab_n, from_protein=False)
+    ml, _lf, pf, *_ = yield request([], vocab_n, from_protein=False)
     focal_rec = int(np.argmax(pf))
-    ml, *_ = predict([focal_rec], vocab_n, from_protein=True)
+    ml, *_ = yield request([focal_rec], vocab_n, from_protein=True)
     wid0 = _top5_sample(ml, vocab_n, rng)
     tmpl = vocab.templates.get(wid0)
     if tmpl is None:
@@ -276,9 +303,9 @@ def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
             if k < dm_cap:
                 dm_rec[k], dm_at[k], dm_mask[k] = r, t_atype[a], True
                 k += 1
-    _, _, _, _, pred_dm, _ = predict([focal_rec], vocab_n,
-                                     dm=(dm_rec, dm_at, dm_mask),
-                                     from_protein=True)
+    _, _, _, _, pred_dm, _ = yield request(
+        [focal_rec], vocab_n, dm=(dm_rec, dm_at, dm_mask),
+        from_protein=True)
     d_cross = np.zeros((4, nt), np.float32)
     k = 0
     for a in range(nt):
@@ -302,7 +329,7 @@ def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
         sites_all = _free_valence_sites(st)
         if not sites_all:
             break
-        _, lf, _pf, *_ = predict([], vocab_n)
+        _, lf, _pf, *_ = yield request([], vocab_n)
         scores = np.exp(lf[:len(st.atype)]
                         - np.max(lf[:len(st.atype)]))
         allowed = np.zeros(len(st.atype))
@@ -314,7 +341,7 @@ def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
         focal_atoms = st.motif_atoms[motif_id]
         cur_wid = st.motif_wid[motif_id]
 
-        ml, *_ = predict(focal_atoms, cur_wid)
+        ml, *_ = yield request(focal_atoms, cur_wid)
         # mask out motifs whose graft atom has no free valence
         ml = np.array(ml, np.float64)
         for w in range(vocab_n):
@@ -339,7 +366,7 @@ def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
                                    featurize_mode)
         if not used:
             break
-        _, _, _, comb, *_ = predict(focal_atoms, cur_wid, cands=cands)
+        _, _, _, comb, *_ = yield request(focal_atoms, cur_wid, cands=cands)
         attach = used[int(np.argmax(comb[:len(used)]))]
 
         # place new atoms: MDS against 4 rec refs nearest the attach atom
@@ -360,7 +387,7 @@ def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
         nbrs = [b if a == focal_atom else a
                 for (a, b) in st.bonds if focal_atom in (a, b)]
         tor_nbr = nbrs[0] if nbrs else attach
-        _, _, _, _, pred_dm, pred_alpha = predict(
+        _, _, _, _, pred_dm, pred_alpha = yield request(
             focal_atoms, cur_wid, dm=(dm_rec, dm_at, dm_mask),
             tor=(attach, tor_nbr, int(t_atype[0]), True))
         d_cross = np.zeros((4, nt), np.float32)
@@ -457,3 +484,82 @@ def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
     for (a, b), cls in st.bonds.items():
         mol.add_bond(int(a), int(b), int(min(cls, 3)))
     return mol
+
+
+def _predict_rows(model, params, samples, from_protein, lig_cap, rec_cap,
+                  b_cap, num_cand=8, dm_cap=32, cache=None):
+    """One jitted predict over a list of request samples, padded to b_cap
+    rows (a fixed batch shape = one compile per from_protein value); one
+    packed device->host fetch for all six heads. cache (a dict owned by
+    the calling driver) keeps the stacked receptor block device-resident
+    across rounds — all rows share one pocket, so it never changes."""
+    from ..data.flag_data import REC_KEYS
+
+    pad = samples + [samples[0]] * (b_cap - len(samples))
+    rec_arrays = cache.get("rec") if cache is not None else None
+    batch = stack_flag_batch(pad, lig_cap=lig_cap, rec_cap=rec_cap,
+                             rec_arrays=rec_arrays)
+    if cache is not None and rec_arrays is None:
+        cache["rec"] = {k: getattr(batch, k) for k in REC_KEYS}
+    packed = _jit_predict_packed(model, params, batch,
+                                 from_protein=from_protein)
+    return _unpack_rows(packed, model.vocab_size, lig_cap, rec_cap,
+                        num_cand, dm_cap)[:len(samples)]
+
+
+def sample_flag_batch(model, params, base_sample: dict, vocab: MotifVocab,
+                      seeds, max_steps: int = 12, lig_cap: int = 64,
+                      rec_cap: int = 448, num_cand: int = 8,
+                      cand_atoms: int = 48, dm_cap: int = 32,
+                      featurize_mode: str = "basic"):
+    """Grow len(seeds) ligands concurrently in the same pocket.
+
+    Lockstep driver over per-molecule coroutines: each round collects one
+    pending predict request from every still-growing molecule and serves
+    them with ONE device call per from_protein group. On remote-dispatch
+    platforms this is the difference between ~48 device round-trips per
+    molecule and ~48 per *batch* (measured 16x at batch 16 on v5e).
+    Returns a list of Optional[Molecule], aligned with seeds."""
+    gens, live, results = [], {}, [None] * len(seeds)
+    cache: dict = {}
+    for i, s in enumerate(seeds):
+        g = _flag_grow(base_sample, vocab, seed=s, max_steps=max_steps,
+                       lig_cap=lig_cap, num_cand=num_cand,
+                       cand_atoms=cand_atoms, dm_cap=dm_cap,
+                       featurize_mode=featurize_mode)
+        gens.append(g)
+        try:
+            live[i] = g.send(None)
+        except StopIteration as e:
+            results[i] = e.value
+    b_cap = max(len(seeds), 1)
+    while live:
+        for flag in (False, True):
+            idxs = [i for i in sorted(live) if live[i][0] is flag]
+            if not idxs:
+                continue
+            rows = _predict_rows(model, params, [live[i][1] for i in idxs],
+                                 flag, lig_cap, rec_cap, b_cap,
+                                 num_cand=num_cand, dm_cap=dm_cap,
+                                 cache=cache)
+            for i, row in zip(idxs, rows):
+                try:
+                    live[i] = gens[i].send(row)
+                except StopIteration as e:
+                    results[i] = e.value
+                    del live[i]
+    return results
+
+
+def sample_flag(model, params, base_sample: dict, vocab: MotifVocab,
+                seed: int = 0, max_steps: int = 12, lig_cap: int = 64,
+                rec_cap: int = 448, num_cand: int = 8, cand_atoms: int = 48,
+                dm_cap: int = 32,
+                featurize_mode: str = "basic") -> Optional[Molecule]:
+    """Grow one ligand in the given pocket (single-molecule driver over
+    the _flag_grow coroutine). Returns a Molecule or None."""
+    return sample_flag_batch(
+        model, params, base_sample, vocab, [seed], max_steps=max_steps,
+        lig_cap=lig_cap, rec_cap=rec_cap, num_cand=num_cand,
+        cand_atoms=cand_atoms, dm_cap=dm_cap,
+        featurize_mode=featurize_mode)[0]

@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--k", type=int, default=32)
     ap.add_argument("--reps", type=int, default=100)
     ap.add_argument("--impls", default="xla,pallas,pallas_pre,pallas2")
+    ap.add_argument("--f32", action="store_true",
+                    help="f32 compute (default bf16, matching bench.py)")
     ap.add_argument("--components", action="store_true")
     args = ap.parse_args()
 
@@ -62,7 +64,7 @@ def main():
     t0 = jnp.full((b,), 500, jnp.int32)
 
     base = TargetDiff(num_classes=13, num_timesteps=1000, emb_dim=d,
-                      num_layers=9, n_heads=16, k=k)
+                      num_layers=9, n_heads=16, k=k, bf16=not args.f32)
     params = jax.jit(base.init)(rng, batch, t0, rng)
     c_lig = jax.nn.one_hot(batch.ligand.atype, 13)
     x_lig = batch.ligand.pos

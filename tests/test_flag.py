@@ -140,3 +140,44 @@ def test_flag_mds_placement_roundtrip():
     tmpl_centered = tmpl_true - tmpl_true.mean(0)
     placed = _mds_place(ref, tmpl_centered, d_cross)
     np.testing.assert_allclose(placed, tmpl_true, atol=1e-4)
+
+
+def test_flag_sample_batch_matches_sequential(flag_setup):
+    """The lockstep batch driver must reproduce the single-molecule
+    sampler exactly: same per-row rng streams, same model outputs
+    (row-independent padded forward), so identical molecules."""
+    from cbgbench_tpu.sampling.flag_sample import (_flag_grow, _predict_rows,
+                                                   sample_flag_batch)
+    model, params, batch, vocab = flag_setup
+    ds = RawPairDataset(example_pairs()[:1], mode="basic", pocket_radius=6.0)
+    base = ds.get(0, np.random.default_rng(0))
+    seeds = [3, 4, 5]
+
+    # sequential reference: drive each coroutine with batch-1 predicts
+    seq = []
+    for s in seeds:
+        g = _flag_grow(base, vocab, seed=s, max_steps=4, lig_cap=64)
+        req = g.send(None)
+        while True:
+            try:
+                row = _predict_rows(model, params, [req[1]], req[0],
+                                    64, 288, 1)[0]
+                req = g.send(row)
+            except StopIteration as e:
+                seq.append(e.value)
+                break
+
+    got = sample_flag_batch(model, params, base, vocab, seeds,
+                            max_steps=4, lig_cap=64, rec_cap=288)
+    assert len(got) == len(seq)
+    for m_b, m_s in zip(got, seq):
+        assert (m_b is None) == (m_s is None)
+        if m_b is None:
+            continue
+        assert m_b.num_atoms == m_s.num_atoms
+        np.testing.assert_array_equal(m_b.atomic_numbers, m_s.atomic_numbers)
+        assert set(map(tuple, np.sort(np.array(
+            [[a, b] for (a, b) in m_b.bonds]), axis=1))) == \
+            set(map(tuple, np.sort(np.array(
+                [[a, b] for (a, b) in m_s.bonds]), axis=1)))
+        np.testing.assert_allclose(m_b.pos, m_s.pos, atol=1e-4)
