@@ -294,9 +294,64 @@ def _jit_focus(model, params, batch, rng):
     return model.apply(params, batch, rng, method="pick_focus")
 
 
+@functools.partial(jax.jit, static_argnames=("model", "max_atoms",
+                                             "min_atoms"))
+def _jit_sample_scan(model, params, batch, rng, max_atoms, min_atoms):
+    """The full flow-reverse growth loop ON DEVICE (``lax.scan`` with
+    per-graph active switches) — one device execution instead of
+    max_atoms x (2 dispatches + 4 fetches) host round-trips. The rng
+    split sequence matches the host loop, so both paths place identical
+    atoms (pinned by test). The focus computation runs every iteration
+    and is select-ignored at it==0 (the host loop skips it there).
+
+    lax.scan, NOT lax.fori_loop: on the remote-TPU platform the same
+    body under fori_loop miscompiles (measured 8/32 valid molecules vs
+    25/32 for scan/host/unrolled, with the distance flow saturating at
+    its 2.2 Å clip — same checkpoint, same keys). scan matches the host
+    loop's validity seed-for-seed and is the construct every
+    quality-verified diffusion sampler in this package already uses."""
+    b = batch.batch_size
+    cap = batch.z.shape[1]
+
+    def body(carry, it):
+        batch, active, rng = carry
+        rng, k1, k2 = jax.random.split(rng, 3)
+        focus, c1, c2 = model.apply(params, batch, k1, method="pick_focus")
+        later = it > 0
+        batch = batch.replace(
+            focus=jnp.where(later, focus, batch.focus),
+            c1=jnp.where(later, c1, batch.c1),
+            c2=jnp.where(later, c2, batch.c2),
+            is_first_step=batch.is_first_step & (it == 0))
+        new_type, new_pos, ok, _ = model.apply(params, batch, k2,
+                                               method="place_atom")
+        n_placed = jnp.sum(batch.gen_flag & batch.mask, 1)
+        slot = jnp.sum(batch.mask, 1)
+        live = active & (ok | (n_placed < min_atoms)) & (slot < cap)
+        upd = jax.nn.one_hot(slot, cap, dtype=bool) & live[:, None]
+        batch = batch.replace(
+            z=jnp.where(upd, new_type[:, None], batch.z),
+            pos=jnp.where(upd[..., None], new_pos[:, None, :], batch.pos),
+            mask=batch.mask | upd, gen_flag=batch.gen_flag | upd)
+        return (batch, live, rng), ()
+
+    init = (batch, jnp.ones(b, bool), rng)
+    (out, _, _), _ = jax.lax.scan(body, init,
+                                  jnp.arange(max_atoms, dtype=jnp.int32))
+    return {"z": out.z, "pos": out.pos, "mask": out.mask,
+            "gen_flag": out.gen_flag & out.mask}
+
+
 def sample_graphbp(model: GraphBP, params, batch: GraphBPBatch, rng,
                    max_atoms: int = 45, min_atoms: int = 12):
-    """Host growth loop: place atoms until focus exhausts or max_atoms."""
+    """Grow atoms by reverse flows, fully on-device (_jit_sample_scan)."""
+    return _jit_sample_scan(model, params, batch, rng, max_atoms, min_atoms)
+
+
+def sample_graphbp_host(model: GraphBP, params, batch: GraphBPBatch, rng,
+                        max_atoms: int = 45, min_atoms: int = 12):
+    """Host growth loop (one device call per step); kept as the semantic
+    reference for _jit_sample_scan's equality test."""
     import numpy as np
 
     b = batch.batch_size

@@ -354,12 +354,61 @@ def _jit_sample_step(model, params, batch, rng):
     return model.apply(params, batch, rng, method="sample_step")
 
 
+@functools.partial(jax.jit, static_argnames=("model", "max_iter"))
+def _jit_sample_scan(model, params, batch, rng, max_iter):
+    """The full AR growth loop ON DEVICE: ``lax.scan`` over growth steps
+    with per-graph active switches (the reference's end_switch concept,
+    pocket2mol.py:265-266, as a carried bool mask). One device execution
+    replaces max_iter x (1 dispatch + 4 fetch) host round-trips — on
+    remote-dispatch platforms those round-trips dominate sampling wall
+    time. The rng split sequence matches the host loop exactly, so both
+    paths produce identical molecules (pinned by test).
+
+    lax.scan, NOT lax.fori_loop: fori_loop bodies of this shape
+    miscompile on the remote-TPU platform (see graphbp._jit_sample_scan
+    for the measured evidence); scan is the verified construct."""
+    nlc = batch.ctx_pos.shape[1]
+
+    def body(carry, _):
+        batch, active, rng = carry
+        rng, step_key = jax.random.split(rng)
+        new_pos, new_type, bond_types, focal_found = model.apply(
+            params, batch, step_key, method="sample_step")
+        slot = jnp.sum(batch.ctx_mask, 1)                      # [B]
+        live = active & focal_found & (slot < nlc)
+        upd = jax.nn.one_hot(slot, nlc, dtype=bool) & live[:, None]
+        ctx_pos = jnp.where(upd[..., None], new_pos[:, None, :],
+                            batch.ctx_pos)
+        ctx_atype = jnp.where(upd, new_type[:, None], batch.ctx_atype)
+        # bonds from the new slot to existing ctx atoms (old mask: j<slot)
+        bt = jnp.where(batch.ctx_mask, bond_types, 0)          # [B, NL]
+        add = jnp.where(upd[:, :, None], bt[:, None, :],
+                        0).astype(batch.ctx_bond.dtype)
+        ctx_bond = batch.ctx_bond + add + jnp.swapaxes(add, 1, 2)
+        batch = batch.replace(
+            ctx_pos=ctx_pos, ctx_atype=ctx_atype,
+            ctx_mask=batch.ctx_mask | upd, ctx_bond=ctx_bond,
+            ctx_frontier=batch.ctx_frontier | upd)
+        return (batch, live, rng), ()
+
+    init = (batch, jnp.ones(batch.batch_size, bool), rng)
+    (out, _, _), _ = jax.lax.scan(body, init, None, length=max_iter)
+    return {"pos": out.ctx_pos, "atype": out.ctx_atype,
+            "mask": out.ctx_mask, "bond": out.ctx_bond}
+
+
 def sample_pocket2mol(model: Pocket2Mol, params, batch: P2MBatch, rng,
                       max_iter: int = 30):
-    """Grow molecules atom-by-atom in fixed-capacity buffers.
+    """Grow molecules atom-by-atom in fixed-capacity buffers, fully
+    on-device (see _jit_sample_scan). Returns padded results."""
+    return _jit_sample_scan(model, params, batch, rng, max_iter)
 
-    Starts from the (possibly empty) ligand context in `batch`; each step
-    appends one atom per still-active graph. Returns padded results."""
+
+def sample_pocket2mol_host(model: Pocket2Mol, params, batch: P2MBatch, rng,
+                           max_iter: int = 30):
+    """Host-stepped reference implementation of the growth loop (one
+    device call per step, commits on host). Kept as the semantic
+    reference for _jit_sample_scan's equality test."""
     import numpy as np
 
     b = batch.batch_size

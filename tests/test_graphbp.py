@@ -125,3 +125,26 @@ def test_sampling_grows(setup, gbp_batch):
     placed = np.asarray(out["gen_flag"]).sum(1)
     assert (placed >= 1).all()
     assert np.isfinite(np.asarray(out["pos"])).all()
+
+
+def test_sampling_scan_matches_host(setup, gbp_batch):
+    """On-device fori_loop growth == host-stepped loop (same rng splits)."""
+    from cbgbench_tpu.models.graphbp import sample_graphbp_host
+    model, params = setup
+    gen = np.asarray(gbp_batch.gen_flag)
+    mask = np.asarray(gbp_batch.mask) & ~gen
+    empty = gbp_batch.replace(mask=jnp.asarray(mask),
+                              gen_flag=jnp.zeros_like(gbp_batch.gen_flag),
+                              is_first_step=jnp.ones(2, bool))
+    dev = sample_graphbp(model, params, empty, jax.random.PRNGKey(4),
+                         max_atoms=4, min_atoms=1)
+    host = sample_graphbp_host(model, params, empty, jax.random.PRNGKey(4),
+                               max_atoms=4, min_atoms=1)
+    np.testing.assert_array_equal(np.asarray(dev["mask"]),
+                                  np.asarray(host["mask"]))
+    np.testing.assert_array_equal(np.asarray(dev["gen_flag"]),
+                                  np.asarray(host["gen_flag"]))
+    np.testing.assert_array_equal(np.asarray(dev["z"]),
+                                  np.asarray(host["z"]))
+    np.testing.assert_allclose(np.asarray(dev["pos"]),
+                               np.asarray(host["pos"]), atol=1e-5)

@@ -108,3 +108,30 @@ def test_sampling_grows_molecules(setup, p2m_batch):
     assert np.isfinite(np.asarray(out["pos"])).all()
     bond = np.asarray(out["bond"])
     assert (bond == bond.transpose(0, 2, 1)).all()
+
+
+def test_sampling_scan_matches_host(setup, p2m_batch):
+    """The on-device fori_loop growth must reproduce the host-stepped
+    loop exactly (same rng split sequence, masked commits)."""
+    from cbgbench_tpu.models.pocket2mol import sample_pocket2mol_host
+    model, params = setup
+    empty = p2m_batch.replace(
+        ctx_pos=jnp.zeros_like(p2m_batch.ctx_pos),
+        ctx_atype=jnp.zeros_like(p2m_batch.ctx_atype),
+        ctx_mask=jnp.zeros_like(p2m_batch.ctx_mask),
+        ctx_bond=jnp.zeros_like(p2m_batch.ctx_bond),
+        ctx_frontier=jnp.zeros_like(p2m_batch.ctx_frontier),
+        rec_pred_flag=p2m_batch.rec_mask,
+    )
+    dev = sample_pocket2mol(model, params, empty, jax.random.PRNGKey(1),
+                            max_iter=5)
+    host = sample_pocket2mol_host(model, params, empty,
+                                  jax.random.PRNGKey(1), max_iter=5)
+    np.testing.assert_array_equal(np.asarray(dev["mask"]),
+                                  np.asarray(host["mask"]))
+    np.testing.assert_array_equal(np.asarray(dev["atype"]),
+                                  np.asarray(host["atype"]))
+    np.testing.assert_array_equal(np.asarray(dev["bond"]),
+                                  np.asarray(host["bond"]))
+    np.testing.assert_allclose(np.asarray(dev["pos"]),
+                               np.asarray(host["pos"]), atol=1e-5)
