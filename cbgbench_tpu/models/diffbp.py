@@ -270,7 +270,8 @@ def sample_diffbp(model: DiffBP, params, batch, rng, chunk_size: int = 100,
     """Absorbing-type prior: all generated types start at the absorbing
     class (reference config assign_atomtype distribution=absorbing)."""
     from .targetdiff import _resolve_impl
-    model = _resolve_impl(model, impl)
+    model = _resolve_impl(model, impl,
+                          batch.ligand.capacity + batch.protein.capacity)
     lig = batch.ligand
     c_in = jax.nn.one_hot(lig.atype, model.num_classes)
     carry = (lig.pos, c_in, rng)

@@ -216,7 +216,8 @@ def sample_diffsbdd(model: DiffSBDD, params, batch, rng,
     N(0, I) in the /4-normalized one-hot space
     (reference: diffsbdd.py:240-267). Returns unnormalized types' argmax."""
     from .targetdiff import _resolve_impl
-    model = _resolve_impl(model, impl)
+    model = _resolve_impl(model, impl,
+                          batch.ligand.capacity + batch.protein.capacity)
     lig, rec = batch.ligand, batch.protein
     gen = lig.gen_flag & lig.mask
     k1, k2, rng = jax.random.split(rng, 3)

@@ -224,12 +224,24 @@ def _sample_chunk(model: TargetDiff, params, batch, carry, t_hi, n_steps,
 
 
 
-def _resolve_impl(model, impl):
+def _resolve_impl(model, impl, n_nodes: int = 0):
     """'auto' -> fused Pallas kernels on TPU backends, XLA elsewhere;
-    returns a (possibly cloned) model whose denoiser uses that impl."""
+    returns a (possibly cloned) model whose denoiser uses that impl.
+
+    The auto choice is bucket-size dependent (measured on v5e, 30-rep
+    in-program timing on an idle chip, [16,N,32,128]): the hybrid
+    'pallas_pre' (XLA one-hot gathers + fused kernel tail) wins at small
+    buckets (N=512: 28.3 vs 29.2 ms), but its [B,N·K,N] one-hot HBM
+    traffic grows as N² while the fully fused 'pallas' gathers in VMEM —
+    the fully fused path wins from N=640 up (640: 38.3 vs 40.6 ms;
+    768: 49.5 vs 52.3; 896: 57.0 vs 70.5). Crossover sits between 512
+    and 640 composed nodes."""
     if impl == "auto":
         from ..ops.pallas_edge_attn import edge_attn_available
-        impl = "pallas_pre" if edge_attn_available() else model.impl
+        if edge_attn_available():
+            impl = "pallas" if n_nodes >= 640 else "pallas_pre"
+        else:
+            impl = model.impl
     if impl and impl != model.impl:
         model = model.clone(impl=impl)
     return model
@@ -249,7 +261,8 @@ def sample_targetdiff(model: TargetDiff, params, batch, rng,
     traj_stride > 0 additionally returns 'traj_pos' [S, B, N, 3]: every
     traj_stride-th intermediate position (the reference's `traj` dict,
     collected on device per chunk instead of offloaded per step)."""
-    model = _resolve_impl(model, impl)
+    n_nodes = batch.ligand.capacity + batch.protein.capacity
+    model = _resolve_impl(model, impl, n_nodes)
     lig = batch.ligand
     c_in = jax.nn.one_hot(lig.atype, model.num_classes)
     carry = (lig.pos, c_in, rng)

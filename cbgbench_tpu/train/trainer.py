@@ -46,7 +46,21 @@ def make_train_step(model, tx, donate: bool = True) -> Callable:
             loss_fn, has_aux=True)(state.params, batch, t, k_noise)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": total, "grad_norm": optax.global_norm(grads),
+        # skip non-finite updates: one bad batch (e.g. a flow log-det
+        # blowup in GraphBP — observed NaN at ~13k iters, after which
+        # clipped-NaN updates kill the run permanently) keeps the previous
+        # params/opt_state instead of poisoning them. Stateless (no optax
+        # wrapper state), so checkpoints stay resume-compatible.
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(total) & jnp.isfinite(gnorm)
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            params, state.params)
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            opt_state, state.opt_state)
+        metrics = {"loss": total, "grad_norm": gnorm,
+                   "update_skipped": (~finite).astype(jnp.float32),
                    **{f"loss_{k}": v for k, v in loss_dict.items()}}
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), metrics

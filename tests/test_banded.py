@@ -118,8 +118,11 @@ def test_banded_applicable():
 
 
 def test_real_pocket_recall():
-    """Morton-sorted real pocket: banded recall at the default spec is
-    essentially lossless."""
+    """Morton-sorted real pocket: pins the measured NEGATIVE result that
+    retired the banded idea (module docstring) — recall at k=32 sits in
+    the 0.7-0.9 range for practical widths (W=256: ~0.74, W=448: ~0.82),
+    grows monotonically with pad, and only reaches 1.0 when the band
+    covers the whole block. Far too lossy to replace exact kNN."""
     from cbgbench_tpu.chem.pdb import parse_pdb_pocket
     import glob
     pdbs = sorted(glob.glob("assets/examples/*/*.pdb"))
@@ -128,9 +131,15 @@ def test_real_pocket_recall():
     pos = np.asarray(atoms.pos, np.float32)
     n = (len(pos) // 64) * 64
     pos = pos[morton_order(pos)][:n]
-    spec = BandSpec(lig_cap=0, tile=64, pad=96)
-    rec = band_recall(pos, 32, spec)
-    assert rec > 0.995, f"recall {rec} too low on a real pocket"
+    recalls = [float(band_recall(pos, 32, BandSpec(lig_cap=0, tile=64,
+                                                   pad=pad)))
+               for pad in (96, 192)]
+    assert 0.60 < recalls[0] < 0.90, recalls
+    assert recalls[1] > recalls[0], recalls
+    assert recalls[1] < 0.95, recalls          # still lossy at W=448
+    full = band_recall(pos, 32, BandSpec(lig_cap=0, tile=64,
+                                         pad=(n - 64) // 2))
+    assert float(full) == 1.0
 
 
 def test_sort_protein_spatial_permutes_consistently():

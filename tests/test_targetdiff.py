@@ -165,3 +165,31 @@ def test_prefetch_iterator():
     import pytest
     with pytest.raises(ValueError):
         next(it)
+
+
+def test_nonfinite_batch_skips_update(setup):
+    """A batch that produces NaN loss/grads must leave params and
+    opt_state untouched (the skip-nonfinite guard in make_train_step) and
+    report update_skipped=1; a finite batch afterwards still trains."""
+    model, batch, params = setup
+    tx = get_optimizer({"type": "adam", "lr": 1e-3}, max_grad_norm=8.0)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, donate=False)
+    rng = jax.random.PRNGKey(3)
+
+    bad = batch.replace(ligand=batch.ligand.replace(
+        pos=batch.ligand.pos.at[0, 0].set(jnp.nan)))
+    state1, m1 = step(state, bad, rng)
+    assert float(m1["update_skipped"]) == 1.0
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state.params, state1.params)
+
+    state2, m2 = step(state1, batch, rng)
+    assert float(m2["update_skipped"]) == 0.0
+    assert np.isfinite(float(m2["loss"]))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state1.params, state2.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
