@@ -193,3 +193,24 @@ def test_nonfinite_batch_skips_update(setup):
         lambda a, b: float(jnp.abs(a - b).max()),
         state1.params, state2.params)
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_resolve_impl_bucket_crossover(monkeypatch):
+    """impl='auto' picks the hybrid pallas_pre below 640 composed nodes and
+    the fully fused pallas kernel from 640 up (measured v5e crossover);
+    falls back to the model's own impl when kernels are unavailable."""
+    from cbgbench_tpu.models import targetdiff as td
+    model = TargetDiff(**TINY)
+
+    monkeypatch.setattr(td, "edge_attn_available", None, raising=False)
+    import cbgbench_tpu.ops.pallas_edge_attn as pea
+    monkeypatch.setattr(pea, "edge_attn_available", lambda: True)
+    assert td._resolve_impl(model, "auto", 512).impl == "pallas_pre"
+    assert td._resolve_impl(model, "auto", 639).impl == "pallas_pre"
+    assert td._resolve_impl(model, "auto", 640).impl == "pallas"
+    assert td._resolve_impl(model, "auto", 1024).impl == "pallas"
+
+    monkeypatch.setattr(pea, "edge_attn_available", lambda: False)
+    assert td._resolve_impl(model, "auto", 1024).impl == model.impl
+    # explicit impl always wins over auto heuristics
+    assert td._resolve_impl(model, "pallas2", 0).impl == "pallas2"
