@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--pocket_radius", type=float, default=10.0)
     p.add_argument("--lig_cap", type=int, default=96)
     p.add_argument("--rec_cap", type=int, default=928)
+    p.add_argument("--select", default="latest", choices=["latest", "best"],
+                   help="checkpoint-dir resolution: highest step or lowest "
+                        "recorded val loss")
     args = p.parse_args(argv)
 
     import jax
@@ -55,9 +58,11 @@ def main(argv=None):
                         format="[%(asctime)s] %(message)s")
     log = logging.getLogger("d3fg")
 
-    fg_state, fg_meta = load_checkpoint(args.fg_checkpoint)
+    fg_state, fg_meta = load_checkpoint(args.fg_checkpoint,
+                                        select=args.select)
     fg_model = get_model(Config(fg_meta["config"])["model"])
-    lk_state, lk_meta = load_checkpoint(args.linker_checkpoint)
+    lk_state, lk_meta = load_checkpoint(args.linker_checkpoint,
+                                        select=args.select)
     lk_model = get_model(Config(lk_meta["config"])["model"])
     lk_mode = Config(lk_meta["config"])["model"].get("mode", "basic")
     log.info("stage-1 model %s | stage-2 model %s",

@@ -10,7 +10,7 @@ per-pocket JSD/MAE against the reference ligand's profile
 (reference: evaluate_scripts/cal_intera_results.py:26-67).
 
 Usage: python -m cbgbench_tpu.cli.evaluate_cli --result_root results \
-            [--num_samples 200] [--protein_root assets/examples] [--vina]
+            [--num_samples N] [--protein_root assets/examples] [--vina]
 """
 
 from __future__ import annotations
@@ -126,9 +126,14 @@ def _evaluate_pocket(args) -> dict:
     return out
 
 
-def evaluate_folder(result_root: str, num_samples: int = 200,
+def evaluate_folder(result_root: str, num_samples: int = None,
                     protein_lookup=None, run_vina: bool = False,
                     workers: int = 0) -> dict:
+    """num_samples: attempted samples per pocket (the validity
+    denominator). When None it is read from the sampler's summary.json
+    (per-pocket n_samples), falling back to 200 — the reference protocol
+    count (reference: sample.py:38) — when no summary exists. Passing an
+    explicit value overrides both."""
     from ..tools.geometry import (analyze_stability, eval_bond_angle_jsd,
                                   eval_bond_length_jsd, eval_pair_length_jsd)
     from ..tools.interaction import INTERACTION_TYPES
@@ -147,6 +152,19 @@ def evaluate_folder(result_root: str, num_samples: int = 200,
 
     pocket_dirs = sorted(d for d in glob.glob(os.path.join(result_root, "*"))
                          if os.path.isdir(d))
+    slots_per_pocket = {}
+    if num_samples is None:
+        summary_path = os.path.join(result_root, "summary.json")
+        if os.path.exists(summary_path):
+            try:
+                with open(summary_path) as f:
+                    for entry in json.load(f):
+                        if "n_samples" in entry and "index" in entry:
+                            slots_per_pocket[int(entry["index"])] = \
+                                int(entry["n_samples"])
+            except Exception:
+                slots_per_pocket = {}
+        num_samples = 200
     jobs = []
     for pd in pocket_dirs:
         protein_pdb = ref_sdf = None
@@ -180,7 +198,11 @@ def evaluate_folder(result_root: str, num_samples: int = 200,
     vina_imp = defaultdict(list)       # mode -> (gen - ref)/ref
     vina_delta = defaultdict(list)     # mode -> gen < ref indicator
     vina_ligeff = []
-    n_total_slots = num_samples * len(pocket_dirs)
+    n_total_slots = 0
+    for pd in pocket_dirs:
+        head = os.path.basename(pd).split("_", 1)[0]
+        idx = int(head) if head.isdigit() else -1
+        n_total_slots += slots_per_pocket.get(idx, num_samples)
     for res in pocket_results:
         all_mols.extend(res["mols"])
         chem_rows.extend(res["chem"])
@@ -283,7 +305,9 @@ def build_protein_lookup(protein_root: str):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--result_root", required=True)
-    p.add_argument("--num_samples", type=int, default=200)
+    p.add_argument("--num_samples", type=int, default=None,
+                   help="attempts per pocket (validity denominator); "
+                        "default: read from summary.json, else 200")
     p.add_argument("--protein_root", default=None,
                    help="directory with the source complexes for clash/"
                         "interaction/Vina metrics")

@@ -126,7 +126,11 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint", required=True,
-                   help="checkpoint step dir or checkpoints/ dir (latest)")
+                   help="checkpoint step dir or checkpoints/ dir")
+    p.add_argument("--select", default="latest", choices=["latest", "best"],
+                   help="when --checkpoint is a dir: highest step (latest, "
+                        "the reference generate.sh protocol) or lowest "
+                        "recorded val loss (best)")
     p.add_argument("--out_root", default="./results")
     p.add_argument("--num_samples", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=16)
@@ -162,7 +166,7 @@ def main(argv=None):
     _register_samplers()
 
     cfg = load_config(args.config)
-    state_raw, meta = load_checkpoint(args.checkpoint)
+    state_raw, meta = load_checkpoint(args.checkpoint, select=args.select)
     train_cfg = Config(meta["config"])
     model_cfg = train_cfg["model"]
     model = get_model(model_cfg)

@@ -46,12 +46,39 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, str(max(int(s) for s in steps)))
 
 
-def load_checkpoint(path: str, target_state=None) -> Tuple[Any, dict]:
-    """path: a specific step dir or a ckpt_dir (takes latest).
-    Returns (state, meta)."""
+def best_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """The saved step with the lowest recorded avg_val_loss (meta.json).
+    Steps without a recorded val loss (e.g. the final iter save when no
+    validation coincided) are skipped; returns latest if none recorded."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    scored = []
+    for d in os.listdir(ckpt_dir):
+        if not d.isdigit():
+            continue
+        meta_path = os.path.join(ckpt_dir, d, "meta.json")
+        try:
+            with open(meta_path) as f:
+                val = json.load(f).get("avg_val_loss")
+        except OSError:
+            val = None
+        if val is not None:
+            scored.append((float(val), int(d)))
+    if not scored:
+        return latest_checkpoint(ckpt_dir)
+    _, step = min(scored)
+    return os.path.join(ckpt_dir, str(step))
+
+
+def load_checkpoint(path: str, target_state=None,
+                    select: str = "latest") -> Tuple[Any, dict]:
+    """path: a specific step dir or a ckpt_dir (resolved via ``select``:
+    "latest" = highest step, reference generate.sh:36-48; "best" = lowest
+    recorded avg_val_loss). Returns (state, meta)."""
     path = os.path.abspath(path)    # orbax/tensorstore requires absolute
     if not os.path.basename(path).isdigit():
-        found = latest_checkpoint(path)
+        found = (best_checkpoint(path) if select == "best"
+                 else latest_checkpoint(path))
         if found is None:
             raise FileNotFoundError(f"no checkpoints under {path}")
         path = found

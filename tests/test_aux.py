@@ -197,6 +197,28 @@ train:
     assert "iter 1 " in log
 
 
+def test_best_checkpoint_selection(tmp_path):
+    """best_checkpoint picks the lowest recorded avg_val_loss; dirs with
+    no recorded val loss are skipped; empty dirs fall back to latest."""
+    import json as _json
+
+    from cbgbench_tpu.train.checkpoint import (best_checkpoint,
+                                               latest_checkpoint)
+    for step, val in ((1000, 0.9), (2000, -1.3), (3000, None)):
+        d = tmp_path / str(step)
+        d.mkdir()
+        with open(d / "meta.json", "w") as f:
+            _json.dump({"iteration": step, "avg_val_loss": val}, f)
+    assert best_checkpoint(str(tmp_path)).endswith("2000")
+    assert latest_checkpoint(str(tmp_path)).endswith("3000")
+    # no recorded vals at all -> latest
+    empty = tmp_path / "e"
+    (empty / "500").mkdir(parents=True)
+    with open(empty / "500" / "meta.json", "w") as f:
+        _json.dump({"iteration": 500}, f)
+    assert best_checkpoint(str(empty)).endswith("500")
+
+
 def test_loader_carries_buffer_across_epochs():
     """Infinite loaders must fill batches across epoch boundaries so
     datasets smaller than batch_size still train (q2_p2m regression)."""

@@ -115,6 +115,28 @@ def test_evaluate_folder_end_to_end(tmp_path):
     assert "clash_ratio" in report
 
 
+def test_evaluate_folder_reads_denominator_from_summary(tmp_path):
+    """With num_samples=None the validity denominator must come from the
+    sampler's summary.json (per-pocket n_samples), not the 200 default —
+    a mismatched denominator silently halves/doubles validity."""
+    import json
+
+    from cbgbench_tpu.chem.sdf import write_sdf
+    from cbgbench_tpu.cli.evaluate_cli import evaluate_folder
+    d = tmp_path / "0000_3zcw_ligand"
+    d.mkdir()
+    for i, m in enumerate(MOLS):
+        write_sdf(str(d / f"{i}.sdf"), m)
+    with open(tmp_path / "summary.json", "w") as f:
+        json.dump([{"index": 0, "name": "3zcw_ligand",
+                    "n_samples": len(MOLS), "n_valid": len(MOLS)}], f)
+    report = evaluate_folder(str(tmp_path), num_samples=None)
+    assert report["validity"] == 1.0
+    # explicit num_samples still overrides the summary
+    report2 = evaluate_folder(str(tmp_path), num_samples=2 * len(MOLS))
+    assert report2["validity"] == 0.5
+
+
 def test_eval_atom_num():
     from cbgbench_tpu.tools.substructure import (
         eval_atom_num, reference_atom_num_distribution)
