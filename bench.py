@@ -83,9 +83,10 @@ def main():
     try:
         from cbgbench_tpu.models.targetdiff import _sample_chunk
         c_in = jax.nn.one_hot(batch.ligand.atype, model.num_classes)
+        t_arr = jnp.arange(T - 1, T - 1 - CHUNK, -1, dtype=jnp.int32)
         lowered = _sample_chunk.lower(
             model, params, batch, (batch.ligand.pos, c_in, rng),
-            jnp.asarray(T - 1, jnp.int32), CHUNK)
+            t_arr, t_arr - 1)
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

@@ -143,6 +143,13 @@ def main(argv=None):
                    help="shard each sampling batch over N devices (pockets/"
                         "samples are embarrassingly parallel; params "
                         "replicated); batch_size must be divisible by N")
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="fast sampling: strided reverse-diffusion ladder of "
+                        "~N steps instead of the full T (diffusion models "
+                        "with strided-sampler support)")
+    p.add_argument("--eta", type=float, default=1.0,
+                   help="stochasticity of strided position steps: 1 = "
+                        "ancestral DDPM (default), 0 = deterministic DDIM")
     args = p.parse_args(argv)
 
     if args.device == "cpu":
@@ -185,6 +192,15 @@ def main(argv=None):
         "num_samples", 200)
     seed = cfg.get("sampling", {}).get("seed", 2022)
     sampler = SAMPLERS.get(model_cfg["type"])
+    if args.num_steps is not None:
+        if model_cfg["type"] not in ("targetdiff",):
+            raise SystemExit(f"--num_steps: {model_cfg['type']} has no "
+                             "strided-sampler support (targetdiff only)")
+        import functools
+        sampler = functools.partial(sampler, num_steps=args.num_steps,
+                                    eta=args.eta)
+        log.info("fast sampling: ~%d strided steps, eta=%.2f",
+                 args.num_steps, args.eta)
 
     mesh = None
     if args.mesh > 1:

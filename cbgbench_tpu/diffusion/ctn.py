@@ -83,6 +83,43 @@ class CTNVPScheduler:
             xs = xs_mean + nonzero * jnp.exp(0.5 * logvar) * z
         return jnp.where(gen_flag[..., None], xs, x_noisy)
 
+    def backward_strided(self, key, x_pred, x_noisy, t, s, gen_flag,
+                         eta: float = 1.0):
+        """One reverse jump x_t -> x_s for any s < t (x0 parameterization).
+
+        Generalizes ``backward_remove_noise(pred_type='denoise')`` to
+        non-adjacent steps: at s = t-1 and eta = 1 it reduces exactly to
+        the unit-step posterior q(x_{t-1}|x_t, x0). ``s = -1`` means
+        "decode to clean x0" (abar_s = 1): the mean collapses to x_pred
+        and the variance to 0, which is exactly the legacy loop's t = 0
+        behavior. eta scales the stochasticity (Song et al. 2021 DDIM,
+        eq. 12): eta = 1 is strided ancestral DDPM, eta = 0 is
+        deterministic DDIM. No reference counterpart — the reference
+        samples the full T steps only (targetdiff.py:181)."""
+        ab = self.tables.alphas_cumprod
+        abar_t = ab[t][:, None, None]
+        abar_s = jnp.where((s >= 0)[:, None, None],
+                           ab[jnp.maximum(s, 0)][:, None, None], 1.0)
+        alpha_ts = abar_t / abar_s
+        # sigma^2 = eta^2 * (1-abar_s)/(1-abar_t) * (1-alpha_ts): the
+        # strided DDPM posterior variance at eta=1, zero at s=-1
+        var = (1.0 - abar_s) / (1.0 - abar_t) * (1.0 - alpha_ts)
+        sigma = eta * jnp.sqrt(jnp.maximum(var, 0.0))
+        if eta == 1.0:
+            # posterior-coefficient form: bitwise-comparable to the
+            # precomputed unit-step tables at s = t-1
+            c0 = jnp.sqrt(abar_s) * (1.0 - alpha_ts) / (1.0 - abar_t)
+            ct = jnp.sqrt(alpha_ts) * (1.0 - abar_s) / (1.0 - abar_t)
+            mean = c0 * x_pred + ct * x_noisy
+        else:
+            eps_hat = ((x_noisy - jnp.sqrt(abar_t) * x_pred)
+                       / jnp.sqrt(1.0 - abar_t))
+            dir_coef = jnp.sqrt(jnp.maximum(1.0 - abar_s - sigma ** 2, 0.0))
+            mean = jnp.sqrt(abar_s) * x_pred + dir_coef * eps_hat
+        z = jax.random.normal(key, x_noisy.shape, x_noisy.dtype)
+        xs = mean + (s >= 0).astype(x_noisy.dtype)[:, None, None] * sigma * z
+        return jnp.where(gen_flag[..., None], xs, x_noisy)
+
     def xs_mean(self, x_pred, x_noisy, t, gen_flag, pred_type: str = "score"):
         if pred_type == "score":
             a = self.tables.alphas_cumprod[t][:, None, None]

@@ -85,6 +85,35 @@ class TypeVPScheduler:
         un = log_qvt1_v0 + log_qvs1_vt
         return un - jax.scipy.special.logsumexp(un, axis=-1, keepdims=True)
 
+    def q_v_posterior_strided(self, log_v0, log_vt, t, s):
+        """log q(v_s | v_t, v_0) for any s < t, normalized.
+
+        The uniform-transition kernel composes in closed form: the s->t
+        hop keeps a class with probability abar_t/abar_s, so the strided
+        posterior is q(v_t|v_s) q(v_s|v_0) with those cumulative ratios.
+        At s = t-1 this reduces exactly to q_v_posterior; s = -1 means
+        "decode to clean v0" (abar_s = 1): q(v_s|v_0) collapses to the
+        predicted v0 distribution itself, mixed only by the t->clean
+        kernel. No reference counterpart (full-T sampling only)."""
+        s_eff = jnp.maximum(s, 0)
+        clean = (s < 0)[:, None, None]
+        labar_s = jnp.where(
+            clean, 0.0, self.log_alphas_cumprod[s_eff][:, None, None])
+        l1abar_s = jnp.where(
+            clean, np.log(1e-40),
+            self.log_one_minus_alphas_cumprod[s_eff][:, None, None])
+        log_qs_v0 = log_add_exp(log_v0 + labar_s,
+                                l1abar_s - np.log(self.num_classes))
+        la_ts = self.log_alphas_cumprod[t][:, None, None] - labar_s
+        l1a_ts = jnp.log(1.0 - jnp.exp(la_ts) + 1e-40)
+        log_qt_vs = log_add_exp(log_vt + la_ts,
+                                l1a_ts - np.log(self.num_classes))
+        if log_qt_vs.shape[-1] - log_qs_v0.shape[-1] == 1:
+            pad = jnp.zeros_like(log_qs_v0[..., :1])
+            log_qs_v0 = jnp.concatenate([log_qs_v0, pad], axis=-1)
+        un = log_qs_v0 + log_qt_vs
+        return un - jax.scipy.special.logsumexp(un, axis=-1, keepdims=True)
+
     # -- public API --
 
     def forward_add_noise(self, key, v0, t, gen_flag):
@@ -127,6 +156,20 @@ class TypeVPScheduler:
             log_c_pred = jnp.log(c_pred + 1e-8)
         log_ct = jnp.log(ct + 1e-8)
         log_vs_prob = self.q_v_posterior(log_c_pred, log_ct, t)
+        v_next = log_sample_categorical(key, log_vs_prob)
+        v_next = jnp.where(gen_flag, v_next, jnp.argmax(ct, axis=-1))
+        c_next = jax.nn.one_hot(v_next, log_vs_prob.shape[-1])
+        return c_next, v_next
+
+    def backward_strided(self, key, c_pred, ct, t, s, gen_flag,
+                         pred_logit: bool = True):
+        """One reverse jump: sample v_s ~ q(v_s | v_t, v0_pred), s < t."""
+        if pred_logit:
+            log_c_pred = jax.nn.log_softmax(c_pred, axis=-1)
+        else:
+            log_c_pred = jnp.log(c_pred + 1e-8)
+        log_ct = jnp.log(ct + 1e-8)
+        log_vs_prob = self.q_v_posterior_strided(log_c_pred, log_ct, t, s)
         v_next = log_sample_categorical(key, log_vs_prob)
         v_next = jnp.where(gen_flag, v_next, jnp.argmax(ct, axis=-1))
         c_next = jax.nn.one_hot(v_next, log_vs_prob.shape[-1])

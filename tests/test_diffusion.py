@@ -223,3 +223,131 @@ class TestVariational:
         gen = jnp.ones((2, 6), bool)
         kl = np.asarray(self.sched.kl_prior(x, gen, dimensions=15))
         assert (kl > -1e-3).all()
+
+
+class TestStrided:
+    """Strided (fast-sampling) reverse jumps: unit-stride equivalence +
+    brute-force composition checks."""
+
+    T = 100
+    pos = CTNVPScheduler.create(T, kind="sigmoid")
+    typ = TypeVPScheduler.create(T, 5, kind="cosine")
+
+    def test_pos_unit_stride_matches_legacy(self):
+        """backward_strided at s=t-1 agrees with the table-based unit step
+        to f32 conditioning (the abar_t/abar_s ratio loses ~0.3% when the
+        stride is one small-beta step — which is why the sampler keeps
+        the exact tables for unit_stride and the strided math for jumps)."""
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.normal(size=(3, 8, 3)), jnp.float32)
+        xt = jnp.asarray(rng.normal(size=(3, 8, 3)), jnp.float32)
+        gen = jnp.asarray(rng.random((3, 8)) < 0.7)
+        key = jax.random.PRNGKey(7)
+        for t_idx in [1, 17, 50, 99]:
+            t = jnp.full((3,), t_idx, jnp.int32)
+            legacy = self.pos.backward_remove_noise(
+                key, x0, xt, t, gen, pred_type="denoise")
+            strided = self.pos.backward_strided(key, x0, xt, t, t - 1, gen)
+            np.testing.assert_allclose(np.asarray(strided),
+                                       np.asarray(legacy),
+                                       rtol=1e-2, atol=1e-2)
+        # final decode: t=0, s=-1 equals the legacy noise-free t=0 step
+        t0 = jnp.zeros((3,), jnp.int32)
+        legacy0 = self.pos.backward_remove_noise(key, x0, xt, t0, gen,
+                                                 pred_type="denoise")
+        strided0 = self.pos.backward_strided(key, x0, xt, t0,
+                                             jnp.full((3,), -1), gen)
+        np.testing.assert_allclose(np.asarray(strided0), np.asarray(legacy0),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_pos_strided_matches_gaussian_composition(self):
+        """q(x_s|x_t,x0) for a long jump must equal Bayes over the cumulative
+        forward kernels: N(x_t; sqrt(a_ts) x_s, 1-a_ts) N(x_s; sqrt(ab_s) x0,
+        1-ab_s) — checked via the analytic product-of-Gaussians mean/var on
+        scalars."""
+        ab = np.asarray(self.pos.tables.alphas_cumprod)
+        for (t_idx, s_idx) in [(99, 49), (70, 10), (25, 0)]:
+            a_ts = ab[t_idx] / ab[s_idx]
+            x0, xt = 0.7, -1.3
+            # product of two Gaussian densities in x_s
+            m1, v1 = np.sqrt(ab[s_idx]) * x0, 1 - ab[s_idx]
+            # N(xt; sqrt(a_ts) xs, 1-a_ts) as a density in xs:
+            m2, v2 = xt / np.sqrt(a_ts), (1 - a_ts) / a_ts
+            var = 1.0 / (1 / v1 + 1 / v2)
+            mean = var * (m1 / v1 + m2 / v2)
+            t = jnp.array([t_idx]); s = jnp.array([s_idx])
+            x0a = jnp.full((1, 1, 3), x0); xta = jnp.full((1, 1, 3), xt)
+            gen = jnp.ones((1, 1), bool)
+            # eta=1 mean: strided posterior coefficients
+            got_mean = self.pos.backward_strided(
+                jax.random.PRNGKey(0), x0a, xta, t, s, gen, eta=1.0)
+            # subtract the noise term to recover the mean: use two keys and
+            # average? No — recompute deterministically via eta=0 identity
+            # is a different mean; instead draw z explicitly:
+            z = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 3))
+            abar_t, abar_s = ab[t_idx], ab[s_idx]
+            sig = np.sqrt((1 - abar_s) / (1 - abar_t) * (1 - a_ts))
+            mean_got = np.asarray(got_mean)[0, 0, 0] - sig * np.asarray(z)[0, 0, 0]
+            np.testing.assert_allclose(mean_got, mean, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(sig ** 2, var, rtol=1e-4, atol=1e-6)
+
+    def test_pos_ddim_deterministic(self):
+        rng = np.random.default_rng(1)
+        x0 = jnp.asarray(rng.normal(size=(2, 6, 3)), jnp.float32)
+        xt = jnp.asarray(rng.normal(size=(2, 6, 3)), jnp.float32)
+        gen = jnp.ones((2, 6), bool)
+        t = jnp.full((2,), 80, jnp.int32)
+        s = jnp.full((2,), 40, jnp.int32)
+        a = self.pos.backward_strided(jax.random.PRNGKey(0), x0, xt, t, s,
+                                      gen, eta=0.0)
+        b = self.pos.backward_strided(jax.random.PRNGKey(123), x0, xt, t, s,
+                                      gen, eta=0.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_type_unit_stride_matches_legacy(self):
+        rng = np.random.default_rng(2)
+        log_v0 = jax.nn.log_softmax(
+            jnp.asarray(rng.normal(size=(2, 6, 5)), jnp.float32), -1)
+        log_vt = jnp.log(jax.nn.one_hot(
+            jnp.asarray(rng.integers(0, 5, (2, 6))), 5) + 1e-8)
+        # compare in probability space: tail log-probs of a one-small-beta
+        # stride are f32-cancellation-limited (the sampler uses the exact
+        # unit-step path for unit strides; strided math serves real jumps)
+        for t_idx in [1, 30, 99]:
+            t = jnp.full((2,), t_idx, jnp.int32)
+            legacy = self.typ.q_v_posterior(log_v0, log_vt, t)
+            strided = self.typ.q_v_posterior_strided(log_v0, log_vt, t, t - 1)
+            np.testing.assert_allclose(np.exp(np.asarray(strided)),
+                                       np.exp(np.asarray(legacy)),
+                                       rtol=1e-3, atol=1e-4)
+        t0 = jnp.zeros((2,), jnp.int32)
+        legacy0 = self.typ.q_v_posterior(log_v0, log_vt, t0)
+        strided0 = self.typ.q_v_posterior_strided(log_v0, log_vt, t0,
+                                                  jnp.full((2,), -1))
+        np.testing.assert_allclose(np.exp(np.asarray(strided0)),
+                                   np.exp(np.asarray(legacy0)),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_type_strided_matches_matrix_composition(self):
+        """The cumulative-ratio kernel q(v_t|v_s) must equal the product of
+        unit uniform-transition matrices from s to t."""
+        alphas = np.exp(np.asarray(self.typ.log_alphas))
+        abar = np.exp(np.asarray(self.typ.log_alphas_cumprod))
+        K = 5
+        for (t_idx, s_idx) in [(40, 20), (99, 0), (10, 9)]:
+            m = np.eye(K)
+            for u in range(s_idx + 1, t_idx + 1):
+                m = m @ (alphas[u] * np.eye(K) + (1 - alphas[u]) / K)
+            a_ts = abar[t_idx] / abar[s_idx]
+            closed = a_ts * np.eye(K) + (1 - a_ts) / K
+            np.testing.assert_allclose(closed, m, rtol=1e-4, atol=1e-6)
+            # and the strided posterior uses exactly that kernel
+            v0, vt = 1, 3
+            q_s_v0 = abar[s_idx] * np.eye(K)[v0] + (1 - abar[s_idx]) / K
+            post = closed[:, vt] * q_s_v0
+            post /= post.sum()
+            log_v0 = jnp.log(jax.nn.one_hot(jnp.array([[v0]]), K) + 1e-30)
+            log_vt = jnp.log(jax.nn.one_hot(jnp.array([[vt]]), K) + 1e-30)
+            ours = np.exp(np.asarray(self.typ.q_v_posterior_strided(
+                log_v0, log_vt, jnp.array([t_idx]), jnp.array([s_idx]))))[0, 0]
+            np.testing.assert_allclose(ours, post, atol=1e-4)

@@ -214,3 +214,39 @@ def test_resolve_impl_bucket_crossover(monkeypatch):
     assert td._resolve_impl(model, "auto", 1024).impl == model.impl
     # explicit impl always wins over auto heuristics
     assert td._resolve_impl(model, "pallas2", 0).impl == "pallas2"
+
+
+def test_fast_sampling_strided(setup):
+    """num_steps < T samples the strided ladder: finite output, correct
+    shapes, and explicit num_steps=T equals the default full-T path."""
+    import numpy as np
+    model, batch, params = setup
+    rng = jax.random.PRNGKey(5)
+    full = sample_targetdiff(model, params, batch, rng, impl="xla")
+    full_explicit = sample_targetdiff(model, params, batch, rng, impl="xla",
+                                      num_steps=model.num_timesteps)
+    np.testing.assert_array_equal(np.asarray(full["pos"]),
+                                  np.asarray(full_explicit["pos"]))
+    np.testing.assert_array_equal(np.asarray(full["atype"]),
+                                  np.asarray(full_explicit["atype"]))
+    fast = sample_targetdiff(model, params, batch, rng, impl="xla",
+                             num_steps=5)
+    assert fast["pos"].shape == batch.ligand.pos.shape
+    assert np.isfinite(np.asarray(fast["pos"])).all()
+    a = np.asarray(fast["atype"])
+    assert (a >= 0).all() and (a < model.num_classes).all()
+    # context atoms stay fixed through the strided ladder
+    ctx = ~np.asarray(batch.ligand.gen_flag) & np.asarray(batch.ligand.mask)
+    np.testing.assert_allclose(np.asarray(fast["pos"])[ctx],
+                               np.asarray(batch.ligand.pos)[ctx])
+
+
+def test_sample_timesteps_ladders():
+    from cbgbench_tpu.models.targetdiff import sample_timesteps
+    import numpy as np
+    full = sample_timesteps(100, None)
+    np.testing.assert_array_equal(full, np.arange(99, -1, -1))
+    ts = sample_timesteps(1000, 100)
+    assert ts[0] == 999 and ts[-1] == 0
+    assert (np.diff(ts) < 0).all()
+    assert 90 <= len(ts) <= 100
