@@ -193,12 +193,17 @@ def main(argv=None):
     seed = cfg.get("sampling", {}).get("seed", 2022)
     sampler = SAMPLERS.get(model_cfg["type"])
     if args.num_steps is not None:
-        if model_cfg["type"] not in ("targetdiff",):
+        if model_cfg["type"] not in ("targetdiff", "diffsbdd"):
             raise SystemExit(f"--num_steps: {model_cfg['type']} has no "
-                             "strided-sampler support (targetdiff only)")
+                             "strided-sampler support (targetdiff/diffsbdd)")
+        if model_cfg["type"] == "diffsbdd" and args.eta != 1.0:
+            raise SystemExit("--eta: diffsbdd's variational sampler has no "
+                             "DDIM mode (targetdiff only)")
         import functools
-        sampler = functools.partial(sampler, num_steps=args.num_steps,
-                                    eta=args.eta)
+        kw = {"num_steps": args.num_steps}
+        if model_cfg["type"] == "targetdiff":
+            kw["eta"] = args.eta
+        sampler = functools.partial(sampler, **kw)
         log.info("fast sampling: ~%d strided steps, eta=%.2f",
                  args.num_steps, args.eta)
 

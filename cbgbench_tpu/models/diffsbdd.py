@@ -21,6 +21,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..diffusion import VariationalScheduler
 from ..nn.embedders import PLContextEmbedder, aa_onehot, protein_atom_features
@@ -169,20 +170,25 @@ class DiffSBDD(nn.Module):
                 + self.loss_weight_atom * loss_dict["atom"])
 
 
-@functools.partial(jax.jit, static_argnames=("model", "n_steps"))
-def _sample_chunk(model: DiffSBDD, params, batch, carry, t_hi, n_steps):
+@functools.partial(jax.jit, static_argnames=("model",))
+def _sample_chunk(model: DiffSBDD, params, batch, carry, t_arr, s_arr):
+    """Scan reverse steps over explicit continuous-time pairs
+    t_arr[i] -> s_arr[i] (each in [0, 1]). The variational parameterization
+    is continuous-time by construction, so the same step serves unit
+    strides (the reference's T-step loop, diffsbdd.py:240-267) and strided
+    fast-sampling ladders."""
     lig = batch.ligand
     gen = lig.gen_flag & lig.mask
     sched = VariationalScheduler.create(model.num_timesteps,
                                         model.pos_schedule)
 
-    def step(carry, i):
+    def step(carry, t_s):
         x, c, x_rec, key = carry
+        t_i, s_i = t_s
         key, k1, k2 = jax.random.split(key, 3)
         b = x.shape[0]
-        s_int = t_hi - i
-        s = jnp.full((b,), s_int, jnp.float32) / model.num_timesteps
-        t = jnp.full((b,), s_int + 1, jnp.float32) / model.num_timesteps
+        s = jnp.full((b,), s_i, jnp.float32)
+        t = jnp.full((b,), t_i, jnp.float32)
         x_pred, c_pred = model.apply(params, x, c, x_rec, batch, t,
                                      method="denoise")
 
@@ -206,16 +212,20 @@ def _sample_chunk(model: DiffSBDD, params, batch, carry, t_hi, n_steps):
         c_next = jnp.where(gen[..., None], c_next, c)
         return (x_next, c_next, x_rec_next, key), None
 
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_steps))
+    carry, _ = jax.lax.scan(step, carry, (t_arr, s_arr))
     return carry
 
 
 def sample_diffsbdd(model: DiffSBDD, params, batch, rng,
-                    chunk_size: int = 100, impl: str = "auto"):
+                    chunk_size: int = 100, impl: str = "auto",
+                    num_steps=None):
     """Prior: positions ~ N(pocket-CoM, I) projected CoM-free; types ~
     N(0, I) in the /4-normalized one-hot space
-    (reference: diffsbdd.py:240-267). Returns unnormalized types' argmax."""
-    from .targetdiff import _resolve_impl
+    (reference: diffsbdd.py:240-267). Returns unnormalized types' argmax.
+
+    num_steps < num_timesteps runs a strided continuous-time ladder
+    (fast sampling); None keeps the reference's full-T protocol."""
+    from .targetdiff import _resolve_impl, sample_timesteps
     model = _resolve_impl(model, impl,
                           batch.ligand.capacity + batch.protein.capacity)
     lig, rec = batch.ligand, batch.protein
@@ -230,13 +240,21 @@ def sample_diffsbdd(model: DiffSBDD, params, batch, rng,
                                   model.num_classes))
 
     carry = (x_in, c_in, x_rec, rng)
-    t_hi = model.num_timesteps - 1
-    while t_hi >= 0:
-        n = min(chunk_size, t_hi + 1)
+    # continuous-time visit ladder: 1.0 -> s_ints[0]/T -> ... -> 0.0
+    # (unit stride reproduces the reference loop's (s+1)/T -> s/T steps)
+    total = model.num_timesteps
+    s_ints = sample_timesteps(total, num_steps)
+    s_cont = s_ints.astype(np.float32) / total
+    t_cont = np.concatenate([[1.0], s_cont[:-1]]).astype(np.float32)
+    chunk = min(chunk_size, len(s_ints))
+    lo = 0
+    while lo < len(s_ints):
+        n = min(chunk, len(s_ints) - lo)
         carry = _sample_chunk(model, params, batch, carry,
-                              jnp.asarray(t_hi, jnp.int32), n)
+                              jnp.asarray(t_cont[lo:lo + n]),
+                              jnp.asarray(s_cont[lo:lo + n]))
         jax.block_until_ready(carry[0])
-        t_hi -= n
+        lo += n
     x_fin, c_fin, x_rec_fin, _ = carry
 
     # translate back into the original receptor frame: the CoM-free

@@ -112,6 +112,24 @@ class TestDiffSBDD:
         d = np.linalg.norm(pos - rec_com, axis=-1)[gen]
         assert d.mean() < 30.0
 
+    def test_fast_sampling_strided(self, setup, atom_batch):
+        """Strided continuous-time ladder: explicit num_steps=T equals the
+        default full-T run; a short ladder stays finite and near the
+        pocket."""
+        model, params = setup
+        rng = jax.random.PRNGKey(4)
+        full = sample_diffsbdd(model, params, atom_batch, rng)
+        explicit = sample_diffsbdd(model, params, atom_batch, rng,
+                                   num_steps=model.num_timesteps)
+        np.testing.assert_array_equal(np.asarray(full["pos"]),
+                                      np.asarray(explicit["pos"]))
+        fast = sample_diffsbdd(model, params, atom_batch, rng, num_steps=5)
+        pos = np.asarray(fast["pos"])
+        assert np.isfinite(pos).all()
+        rec_com = np.asarray(atom_batch.protein.pos).mean(1, keepdims=True)
+        gen = np.asarray(atom_batch.ligand.gen_flag & atom_batch.ligand.mask)
+        assert np.linalg.norm(pos - rec_com, axis=-1)[gen].mean() < 30.0
+
 
 class TestD3FG:
     @pytest.fixture(scope="class")
