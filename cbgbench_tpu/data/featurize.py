@@ -71,11 +71,15 @@ def featurize_ligand(mol: Molecule, mode: str = "add_aromatic",
 
 
 def featurize_protein(atoms: PocketAtoms) -> Dict[str, np.ndarray]:
-    """-> {'pos', 'element', 'is_backbone', 'aa'} (indices, not one-hots;
-    one-hot expansion happens on device in the embedder)."""
+    """-> {'pos', 'element', 'is_backbone', 'aa', 'is_alpha'} (indices, not
+    one-hots; one-hot expansion happens on device in the embedder)."""
     return {
         "pos": np.asarray(atoms.pos, np.float32),
         "element": np.asarray(atoms.element_index, np.int32),
         "is_backbone": np.asarray(atoms.is_backbone, bool),
         "aa": np.asarray(atoms.atom_to_aa_type, np.int32),
+        # alpha carbons anchor FLAG's structure-refinement pairs
+        # (reference: utils/data.py protein_alpha_carbon_index)
+        "is_alpha": np.asarray([n == "CA" for n in atoms.atom_name], bool)
+        if atoms.atom_name else np.asarray(atoms.is_backbone, bool),
     }

@@ -30,6 +30,10 @@ class FLAGBatch:
     rec_aa: jnp.ndarray           # [B, NR]
     rec_mask: jnp.ndarray         # [B, NR]
     rec_contact: jnp.ndarray      # [B, NR]  contact labels (step 0)
+    # alpha-carbon gather indices for the structure-refinement loss
+    # (reference: utils/data.py sr_* index construction)
+    ca_idx: jnp.ndarray           # [B, NA]  rec indices of CA atoms
+    ca_mask: jnp.ndarray          # [B, NA]
     # ligand context (already-placed motif atoms)
     ctx_pos: jnp.ndarray          # [B, NL, 3]
     ctx_atype: jnp.ndarray        # [B, NL]
@@ -235,7 +239,20 @@ def build_flag_sample(sample: dict, vocab: MotifVocab,
 
 
 REC_KEYS = ("rec_pos", "rec_element", "rec_is_backbone", "rec_aa",
-            "rec_mask", "rec_contact")
+            "rec_mask", "rec_contact", "ca_idx", "ca_mask")
+CA_CAP = 96
+
+
+def _alpha_indices(rec: dict) -> np.ndarray:
+    """Indices of alpha carbons; pre-is_alpha caches (e.g. old shard
+    pickles) fall back to backbone carbons."""
+    from ..constants.protein import POCKET_ATOMIC_NUMBERS
+    flag = rec.get("is_alpha")
+    if flag is None:
+        c_index = POCKET_ATOMIC_NUMBERS.index(6)
+        flag = np.asarray(rec["is_backbone"], bool) & \
+            (np.asarray(rec["element"]) == c_index)
+    return np.where(np.asarray(flag, bool))[0]
 
 
 def stack_flag_batch(samples, lig_cap=64, rec_cap=448, nf_cap=16,
@@ -255,6 +272,8 @@ def stack_flag_batch(samples, lig_cap=64, rec_cap=448, nf_cap=16,
         rec_aa=np.zeros((b, rec_cap), np.int32),
         rec_mask=np.zeros((b, rec_cap), bool),
         rec_contact=np.zeros((b, rec_cap), bool),
+        ca_idx=np.zeros((b, CA_CAP), np.int32),
+        ca_mask=np.zeros((b, CA_CAP), bool),
         ctx_pos=np.zeros((b, lig_cap, 3), np.float32),
         ctx_atype=np.zeros((b, lig_cap), np.int32),
         ctx_mask=np.zeros((b, lig_cap), bool),
@@ -290,6 +309,10 @@ def stack_flag_batch(samples, lig_cap=64, rec_cap=448, nf_cap=16,
             out["rec_aa"][i, :nr] = rec["aa"]
             out["rec_mask"][i, :nr] = True
             out["rec_contact"][i, :nr] = s["rec_contact"]
+            ca = _alpha_indices(rec)
+            ca = ca[ca < rec_cap][:CA_CAP]
+            out["ca_idx"][i, :len(ca)] = ca
+            out["ca_mask"][i, :len(ca)] = True
         nl = len(s["ctx_atype"])
         out["ctx_pos"][i, :nl] = s["ctx_pos"]
         out["ctx_atype"][i, :nl] = s["ctx_atype"]

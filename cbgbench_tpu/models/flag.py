@@ -76,6 +76,10 @@ class FLAG(nn.Module):
         self.focal_mlp_ligand = MLP(1, self.emb_dim)
         self.focal_mlp_protein = MLP(1, self.emb_dim)
         self.dist_mlp = MLP(1, self.emb_dim)
+        # structure-refinement force heads (reference: flag.py:83-88
+        # refine_protein/refine_ligand + GaussianSmearing(0, 10, vec_dim))
+        self.refine_protein = MLP(1, self.emb_dim * 2)
+        self.refine_ligand = MLP(1, self.emb_dim * 2)
         self.new_atom_emb = nn.Embed(self.num_classes, self.emb_dim)
         # torsion head (reference: flag.py alpha_mlp, 3*D -> angle)
         self.alpha_mlp = MLP(2, self.emb_dim * 3)
@@ -94,6 +98,57 @@ class FLAG(nn.Module):
         nl = batch.ctx_pos.shape[1]
         h, vec = self.encoder(x, vec, h, mask, ctx_bond=batch.ctx_bond, nl=nl)
         return x, h, vec, mask, nl
+
+    def _sr_loss(self, h_lig, h_rec, batch: FLAGBatch):
+        """Structure-refinement loss (reference: flag.py:537-561): force
+        heads predict per-pair scalar magnitudes along pair directions;
+        the pose displaced by the mean forces must reproduce the true
+        ligand<->alpha-carbon and intra-ligand distances. At the true
+        geometry this teaches the forces to vanish — a stationarity
+        regularizer on the shared encoder. Pairs are gated at 10 A like
+        the reference; the padded layout makes the reference's
+        cartesian-product index lists a dense [B, NL, NA] grid."""
+        from ..ops.rbf import gaussian_smearing
+        x_l, lm = batch.ctx_pos, batch.ctx_mask
+        x_a = gather_neighbors(batch.rec_pos, batch.ca_idx)     # [B, NA, 3]
+        h_a = gather_neighbors(h_rec, batch.ca_idx)             # [B, NA, D]
+
+        def forces(h_src, x_dst, h_dst, m_dst, head):
+            diff = x_l[:, :, None] - x_dst[:, None]             # [B,NL,NA,3]
+            d = jnp.sqrt(jnp.sum(diff ** 2, -1) + 1e-12)
+            pm = (lm[:, :, None] & m_dst[:, None] & (d <= 10.0))
+            rbf = gaussian_smearing(d, 0.0, 10.0, self.vec_dim,
+                                    fixed_offset=False)
+            nl, na = d.shape[1], d.shape[2]
+            inp = jnp.concatenate([
+                jnp.broadcast_to(h_src[:, :, None],
+                                 (d.shape[0], nl, na, h_src.shape[-1])),
+                jnp.broadcast_to(h_dst[:, None],
+                                 (d.shape[0], nl, na, h_dst.shape[-1])),
+                rbf], axis=-1)
+            mag = head(inp)                                     # [B,NL,NA,1]
+            unit = diff / d[..., None]
+            f = jnp.where(pm[..., None], mag * unit, 0.0)
+            cnt = jnp.maximum(pm.sum(2, keepdims=True), 1)
+            return f.sum(2) / cnt, d, pm                        # [B,NL,3]
+
+        f1, d1, pm1 = forces(h_lig, x_a, h_a, batch.ca_mask,
+                             self.refine_protein)
+        # intra-ligand pairs exclude self (d=0 survives the 10 A gate)
+        eye = jnp.eye(x_l.shape[1], dtype=bool)[None]
+        f2, d2, pm2 = forces(h_lig, x_l, h_lig, lm, self.refine_ligand)
+        pm2 = pm2 & ~eye
+        new_pos = x_l + f1 + f2
+
+        nd1 = jnp.sqrt(jnp.sum(
+            (new_pos[:, :, None] - x_a[:, None]) ** 2, -1) + 1e-12)
+        nd2 = jnp.sqrt(jnp.sum(
+            (new_pos[:, :, None] - new_pos[:, None]) ** 2, -1) + 1e-12)
+        se1 = jnp.where(pm1, (nd1 - d1) ** 2, 0.0)
+        se2 = jnp.where(pm2, (nd2 - d2) ** 2, 0.0)
+        mse1 = se1.sum() / jnp.maximum(pm1.sum(), 1)
+        mse2 = se2.sum() / jnp.maximum(pm2.sum(), 1)
+        return mse1 + mse2
 
     def motif_logits(self, h_lig, batch: FLAGBatch):
         h_focal = gather_neighbors(h_lig, batch.focal_atoms)   # [B, NF, D]
@@ -152,8 +207,10 @@ class FLAG(nn.Module):
         loss_tor = jnp.sum(von_mises_loss(pred_angle, batch.tor_true) * tv) \
             / jnp.maximum(tv.sum(), 1.0)
 
+        loss_sr = self._sr_loss(h_lig, h_rec, batch)
+
         losses = {"pred": loss_pred, "comb": loss_comb, "focal": loss_focal,
-                  "dm": loss_dm, "torsion": loss_tor}
+                  "dm": loss_dm, "torsion": loss_tor, "sr": loss_sr}
         results = {"motif_logits": logits, "next_wid": batch.next_wid,
                    "mask_gen": jnp.ones_like(batch.next_wid, bool)}
         return losses, results

@@ -65,9 +65,28 @@ def flag_setup(mols):
 def test_flag_loss_structure(flag_setup):
     model, params, batch, _ = flag_setup
     losses, _ = model.apply(params, batch)
-    assert set(losses) == {"pred", "comb", "focal", "dm", "torsion"}
+    assert set(losses) == {"pred", "comb", "focal", "dm", "torsion", "sr"}
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
+    assert float(losses["sr"]) >= 0.0
+
+
+def test_flag_sr_zero_when_forces_vanish(flag_setup):
+    """The sr loss measures distance distortion of the force-displaced
+    pose; with both refine heads' output layers zeroed the pose is
+    untouched and the loss must be exactly 0 (stationarity target)."""
+    model, params, batch, _ = flag_setup
+    import flax
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    zeroed = {k: (jnp.zeros_like(v)
+                  if ("refine_protein" in k or "refine_ligand" in k)
+                  and k.endswith(("kernel", "bias")) else v)
+              for k, v in flat.items()}
+    params_z = flax.traverse_util.unflatten_dict(zeroed, sep="/")
+    losses, _ = model.apply(params_z, batch)
+    assert float(losses["sr"]) < 1e-9
+    # and the ca gather actually selected alpha carbons
+    assert int(np.asarray(batch.ca_mask).sum()) > 0
 
 
 def test_flag_training_decreases(flag_setup):
