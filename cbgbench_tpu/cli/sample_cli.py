@@ -29,7 +29,8 @@ def _register_samplers():
 
 
 def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
-                       batch_size, seed, lig_cap, rec_cap, transform=None):
+                       batch_size, seed, lig_cap, rec_cap, transform=None,
+                       refine_iters=0):
     """AR growth sampling (pocket2mol / graphbp): yield (pos, atype, mask)
     numpy arrays per replica batch, in the original coordinate frame.
     When the test transform yields a decomp split (ctx_flag), the kept
@@ -114,7 +115,8 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
                 model, params, base, ds._flag_vocab,
                 seeds=[seed + bi * 997 + s for s in range(bs)],
                 max_steps=lig_cap // 4,
-                lig_cap=min(lig_cap, 64), rec_cap=rec_cap)
+                lig_cap=min(lig_cap, 64), rec_cap=rec_cap,
+                refine_iters=refine_iters)
             yield ("mols", [m for m in mols if m is not None])
         else:
             raise ValueError(model_type)
@@ -150,6 +152,11 @@ def main(argv=None):
     p.add_argument("--eta", type=float, default=1.0,
                    help="stochasticity of strided position steps: 1 = "
                         "ancestral DDPM (default), 0 = deterministic DDIM")
+    p.add_argument("--refine_iters", type=int, default=0,
+                   help="FLAG: apply the trained structure-refinement "
+                        "force heads N times to each grown pose "
+                        "(extension; the reference trains but never "
+                        "applies them)")
     args = p.parse_args(argv)
 
     if args.device == "cpu":
@@ -253,7 +260,7 @@ def main(argv=None):
             batches = _sample_ar_batches(
                 model_cfg["type"], model, params, ds, i, num_samples,
                 args.batch_size, seed, min(args.lig_cap, 64), args.rec_cap,
-                transform=transform)
+                transform=transform, refine_iters=args.refine_iters)
         else:
             batches = None
         if batches is not None:

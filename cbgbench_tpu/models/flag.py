@@ -99,14 +99,12 @@ class FLAG(nn.Module):
         h, vec = self.encoder(x, vec, h, mask, ctx_bond=batch.ctx_bond, nl=nl)
         return x, h, vec, mask, nl
 
-    def _sr_loss(self, h_lig, h_rec, batch: FLAGBatch):
-        """Structure-refinement loss (reference: flag.py:537-561): force
-        heads predict per-pair scalar magnitudes along pair directions;
-        the pose displaced by the mean forces must reproduce the true
-        ligand<->alpha-carbon and intra-ligand distances. At the true
-        geometry this teaches the forces to vanish — a stationarity
-        regularizer on the shared encoder. Pairs are gated at 10 A like
-        the reference; the padded layout makes the reference's
+    def _sr_forces(self, h_lig, h_rec, batch: FLAGBatch):
+        """Mean refinement forces on context atoms: per-pair scalar
+        magnitudes along pair directions against alpha carbons
+        (refine_protein) and other ligand atoms (refine_ligand), 10 A
+        gated, averaged per atom. Returns (new_pos, (d1, pm1, x_a),
+        (d2, pm2)); the padded layout makes the reference's
         cartesian-product index lists a dense [B, NL, NA] grid."""
         from ..ops.rbf import gaussian_smearing
         x_l, lm = batch.ctx_pos, batch.ctx_mask
@@ -138,7 +136,17 @@ class FLAG(nn.Module):
         eye = jnp.eye(x_l.shape[1], dtype=bool)[None]
         f2, d2, pm2 = forces(h_lig, x_l, h_lig, lm, self.refine_ligand)
         pm2 = pm2 & ~eye
-        new_pos = x_l + f1 + f2
+        new_pos = jnp.where(lm[..., None], x_l + f1 + f2, x_l)
+        return new_pos, (d1, pm1, x_a), (d2, pm2)
+
+    def _sr_loss(self, h_lig, h_rec, batch: FLAGBatch):
+        """Structure-refinement loss (reference: flag.py:537-561): the
+        pose displaced by the mean forces must reproduce the true
+        ligand<->alpha-carbon and intra-ligand distances — at the true
+        geometry this teaches the forces to vanish (a stationarity
+        regularizer on the shared encoder)."""
+        new_pos, (d1, pm1, x_a), (d2, pm2) = self._sr_forces(h_lig, h_rec,
+                                                             batch)
 
         nd1 = jnp.sqrt(jnp.sum(
             (new_pos[:, :, None] - x_a[:, None]) ** 2, -1) + 1e-12)
@@ -149,6 +157,19 @@ class FLAG(nn.Module):
         mse1 = se1.sum() / jnp.maximum(pm1.sum(), 1)
         mse2 = se2.sum() / jnp.maximum(pm2.sum(), 1)
         return mse1 + mse2
+
+    def refine_step(self, batch: FLAGBatch):
+        """One pose-refinement step: displace context atoms by the trained
+        mean forces. Returns ctx_pos' [B, NL, 3].
+
+        EXTENSION beyond the reference: it trains these heads (sr loss)
+        but never applies them at sampling (flag.py:276 comments
+        'structure refinement' yet only predicts focal atoms). Applying
+        the learned forces to the grown pose moves it toward the
+        geometry the heads were taught to leave stationary."""
+        x, h, vec, mask, nl = self.encode(batch)
+        new_pos, _, _ = self._sr_forces(h[:, :nl], h[:, nl:], batch)
+        return new_pos
 
     def motif_logits(self, h_lig, batch: FLAGBatch):
         h_focal = gather_neighbors(h_lig, batch.focal_atoms)   # [B, NF, D]

@@ -507,11 +507,58 @@ def _predict_rows(model, params, samples, from_protein, lig_cap, rec_cap,
                         num_cand, dm_cap)[:len(samples)]
 
 
+@functools.partial(__import__("jax").jit, static_argnames=("model",))
+def _jit_refine(model, params, batch):
+    return model.apply(params, batch, method="refine_step")
+
+
+def _refine_molecules(model, params, base_sample, mols, lig_cap, rec_cap,
+                      refine_iters, featurize_mode, num_cand, cand_atoms,
+                      dm_cap):
+    """Apply the trained sr force heads to grown poses (EXTENSION: the
+    reference trains refine_protein/refine_ligand but never applies them
+    at sampling). One jitted program refines the whole batch per
+    iteration."""
+    from ..data.featurize import featurize_ligand
+    rec = base_sample["protein"]
+    idxs = [i for i, m in enumerate(mols)
+            if m is not None and m.num_atoms <= lig_cap]
+    if not idxs:
+        return mols
+    samples = []
+    for i in idxs:
+        st = _GrowState()
+        m = mols[i]
+        st.pos = np.asarray(m.pos, np.float32)
+        st.atype = np.asarray(
+            featurize_ligand(m, featurize_mode, keep_bonds=False)["atype"],
+            np.int32)
+        st.bonds = dict(m.bonds)
+        samples.append(_make_sample(
+            rec, st, [], 0,
+            _empty_cands(num_cand, cand_atoms),
+            (np.zeros(dm_cap, np.int32), np.zeros(dm_cap, np.int32),
+             np.zeros(dm_cap, bool)), (0, 0, 0, False), num_cand, dm_cap))
+    from ..data.flag_data import stack_flag_batch
+    batch = stack_flag_batch(samples, lig_cap=lig_cap, rec_cap=rec_cap)
+    for _ in range(refine_iters):
+        new_pos = _jit_refine(model, params, batch)
+        batch = batch.replace(ctx_pos=new_pos)
+    pos = np.asarray(batch.ctx_pos)
+    out = list(mols)
+    for row, i in enumerate(idxs):
+        m = mols[i]
+        out[i] = Molecule(m.atomic_numbers, pos[row, :m.num_atoms].copy(),
+                          bonds=dict(m.bonds), aromatic=m.aromatic,
+                          name=m.name)
+    return out
+
+
 def sample_flag_batch(model, params, base_sample: dict, vocab: MotifVocab,
                       seeds, max_steps: int = 12, lig_cap: int = 64,
                       rec_cap: int = 448, num_cand: int = 8,
                       cand_atoms: int = 48, dm_cap: int = 32,
-                      featurize_mode: str = "basic"):
+                      featurize_mode: str = "basic", refine_iters: int = 0):
     """Grow len(seeds) ligands concurrently in the same pocket.
 
     Lockstep driver over per-molecule coroutines: each round collects one
@@ -548,6 +595,11 @@ def sample_flag_batch(model, params, base_sample: dict, vocab: MotifVocab,
                 except StopIteration as e:
                     results[i] = e.value
                     del live[i]
+    if refine_iters > 0:
+        results = _refine_molecules(model, params, base_sample, results,
+                                    lig_cap, rec_cap, refine_iters,
+                                    featurize_mode, num_cand, cand_atoms,
+                                    dm_cap)
     return results
 
 

@@ -149,6 +149,26 @@ def test_flag_sampling_grows_molecule(flag_setup):
     assert len(seen) == mol.num_atoms
 
 
+def test_flag_refine_iters_moves_pose_preserves_topology(flag_setup):
+    """refine_iters applies the trained force heads post-growth: same
+    atoms/bonds, displaced finite positions; 0 iters is untouched."""
+    from cbgbench_tpu.sampling.flag_sample import sample_flag_batch
+    model, params, batch, vocab = flag_setup
+    ds = RawPairDataset(example_pairs()[:1], mode="basic", pocket_radius=6.0)
+    base = ds.get(0, np.random.default_rng(0))
+    kw = dict(max_steps=4, lig_cap=64, rec_cap=288)
+    plain = sample_flag_batch(model, params, base, vocab, [3], **kw)[0]
+    refined = sample_flag_batch(model, params, base, vocab, [3],
+                                refine_iters=2, **kw)[0]
+    assert plain is not None and refined is not None
+    np.testing.assert_array_equal(plain.atomic_numbers,
+                                  refined.atomic_numbers)
+    assert plain.bonds == refined.bonds
+    assert np.isfinite(refined.pos).all()
+    # the randomly initialized heads emit nonzero forces -> pose moved
+    assert not np.allclose(plain.pos, refined.pos)
+
+
 def test_flag_mds_placement_roundtrip():
     """MDS + Kabsch reproduces a known geometry when fed exact distances."""
     from cbgbench_tpu.sampling.flag_sample import _mds_place
