@@ -200,9 +200,10 @@ def main(argv=None):
     seed = cfg.get("sampling", {}).get("seed", 2022)
     sampler = SAMPLERS.get(model_cfg["type"])
     if args.num_steps is not None:
-        if model_cfg["type"] not in ("targetdiff", "diffsbdd"):
+        if model_cfg["type"] not in ("targetdiff", "diffsbdd", "diffbp"):
             raise SystemExit(f"--num_steps: {model_cfg['type']} has no "
-                             "strided-sampler support (targetdiff/diffsbdd)")
+                             "strided-sampler support "
+                             "(targetdiff/diffsbdd/diffbp)")
         if model_cfg["type"] == "diffsbdd" and args.eta != 1.0:
             raise SystemExit("--eta: diffsbdd's variational sampler has no "
                              "DDIM mode (targetdiff only)")

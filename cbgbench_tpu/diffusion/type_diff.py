@@ -211,6 +211,31 @@ class MaskTypeScheduler:
         c_next = jax.nn.one_hot(v_next, self.num_classes)
         return c_next, v_next
 
+    def backward_strided(self, key, c_pred, ct, t, s, gen_flag,
+                         pred_logit: bool = True, fix_pred: bool = True):
+        """Strided reverse jump t -> s for the absorbing process.
+
+        The forward marginal masks with probability t/T, so the exact
+        posterior reveal probability for a t -> s jump is
+        P(revealed at s | absorbed at t) = 1 - s/t (s = -1, the clean
+        decode, reveals everything). Note the unit-step
+        backward_remove_noise keeps the reference's (T-t)/T heuristic
+        instead (diffusion_scheduler.py:487) — strided ladders use the
+        posterior form."""
+        if pred_logit:
+            c_pred = jax.nn.softmax(c_pred, axis=-1)
+        vt = jnp.argmax(ct, axis=-1)
+        tt = jnp.maximum(t[:, None].astype(jnp.float32), 1.0)
+        ss = jnp.clip(s[:, None].astype(jnp.float32), 0.0, None)
+        prob = jnp.where(s[:, None] >= 0, 1.0 - ss / tt, 1.0)
+        change = (jax.random.uniform(key, vt.shape) < prob) & gen_flag
+        if fix_pred:
+            change = change & (vt == self.absorbing_state)
+        v_pred = jnp.argmax(c_pred, axis=-1)
+        v_next = jnp.where(change, v_pred, vt)
+        c_next = jax.nn.one_hot(v_next, self.num_classes)
+        return c_next, v_next
+
     def get_loss(self, c_pred, v0, vt, t, gen_flag, pred_logit: bool = True):
         """Cross-entropy on generated atoms (reference applies softmax then
         F.cross_entropy — i.e. double softmax; we keep single log_softmax of

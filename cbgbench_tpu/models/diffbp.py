@@ -17,6 +17,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..diffusion import CTNVPScheduler, MaskTypeScheduler
 from ..nn.attention import H2XAttention
@@ -233,8 +234,14 @@ class DiffBP(nn.Module):
         return sum(w.get(k, 1.0) * v for k, v in loss_dict.items())
 
 
-@functools.partial(jax.jit, static_argnames=("model", "n_steps"))
-def _sample_chunk(model: DiffBP, params, batch, carry, t_hi, n_steps):
+@functools.partial(jax.jit, static_argnames=("model", "unit_stride"))
+def _sample_chunk(model: DiffBP, params, batch, carry, t_arr, s_arr,
+                  unit_stride: bool = True):
+    """Scan reverse jumps t_arr[i] -> s_arr[i]. unit_stride keeps the
+    reference's score-form step + (T-t)/T type reveal; strided ladders
+    convert the eps prediction to x0 and use the closed-form jump
+    posteriors (see CTNVPScheduler.backward_strided /
+    MaskTypeScheduler.backward_strided)."""
     lig = batch.ligand
     gen = lig.gen_flag & lig.mask
     pos_sched = CTNVPScheduler.create(
@@ -244,44 +251,64 @@ def _sample_chunk(model: DiffBP, params, batch, carry, t_hi, n_steps):
         num_timesteps=model.num_timesteps, num_classes=model.num_classes,
         absorbing_state=ABSORBING_STATE)
 
-    def step(carry, i):
+    def step(carry, t_s):
         x, c, key = carry
+        t_i, s_i = t_s
         key, k1, k2 = jax.random.split(key, 3)
-        t = jnp.full((x.shape[0],), t_hi - i, jnp.int32)
+        t = jnp.full((x.shape[0],), t_i, jnp.int32)
+        s = jnp.full((x.shape[0],), s_i, jnp.int32)
         eps_pred, com_pred, c_pred = model.apply(params, x, c, batch, t,
                                                  method="denoise")
         if model.denoise_structure:
-            x_next = pos_sched.backward_remove_noise(
-                k1, eps_pred + com_pred, x, t, gen, pred_type="score")
+            if unit_stride:
+                x_next = pos_sched.backward_remove_noise(
+                    k1, eps_pred + com_pred, x, t, gen, pred_type="score")
+            else:
+                a = pos_sched.tables.alphas_cumprod[t][:, None, None]
+                eps = eps_pred + com_pred
+                x0_hat = (x - jnp.sqrt(1.0 - a) * eps) / jnp.sqrt(a)
+                x_next = pos_sched.backward_strided(k1, x0_hat, x, t, s, gen)
         else:
             x_next = x
         if model.denoise_atom:
-            c_next, _ = type_sched.backward_remove_noise(k2, c_pred, c, t, gen)
+            if unit_stride:
+                c_next, _ = type_sched.backward_remove_noise(k2, c_pred, c,
+                                                             t, gen)
+            else:
+                c_next, _ = type_sched.backward_strided(k2, c_pred, c, t, s,
+                                                        gen)
         else:
             c_next = c
         return (x_next, c_next, key), None
 
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_steps))
+    carry, _ = jax.lax.scan(step, carry, (t_arr, s_arr))
     return carry
 
 
 def sample_diffbp(model: DiffBP, params, batch, rng, chunk_size: int = 100,
-                  impl: str = "auto"):
+                  impl: str = "auto", num_steps=None):
     """Absorbing-type prior: all generated types start at the absorbing
-    class (reference config assign_atomtype distribution=absorbing)."""
-    from .targetdiff import _resolve_impl
+    class (reference config assign_atomtype distribution=absorbing).
+    num_steps < num_timesteps runs a strided fast-sampling ladder."""
+    from .targetdiff import _resolve_impl, sample_timesteps
     model = _resolve_impl(model, impl,
                           batch.ligand.capacity + batch.protein.capacity)
     lig = batch.ligand
     c_in = jax.nn.one_hot(lig.atype, model.num_classes)
     carry = (lig.pos, c_in, rng)
-    t_hi = model.num_timesteps - 1
-    while t_hi >= 0:
-        n = min(chunk_size, t_hi + 1)
+    ts = sample_timesteps(model.num_timesteps, num_steps)
+    ss = np.append(ts[1:], np.int32(-1)).astype(np.int32)
+    unit_stride = len(ts) == model.num_timesteps
+    chunk = min(chunk_size, len(ts))
+    lo = 0
+    while lo < len(ts):
+        n = min(chunk, len(ts) - lo)
         carry = _sample_chunk(model, params, batch, carry,
-                              jnp.asarray(t_hi, jnp.int32), n)
+                              jnp.asarray(ts[lo:lo + n]),
+                              jnp.asarray(ss[lo:lo + n]),
+                              unit_stride=unit_stride)
         jax.block_until_ready(carry[0])
-        t_hi -= n
+        lo += n
     x_fin, c_fin, _ = carry
     return {"pos": x_fin, "atype": jnp.argmax(c_fin, -1), "c": c_fin}
 

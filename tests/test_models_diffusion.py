@@ -58,6 +58,29 @@ class TestDiffBP:
         assert np.isfinite(np.asarray(out["pos"])).all()
         assert (np.asarray(out["atype"]) < 8).all()
 
+    def test_fast_sampling_strided(self, setup, atom_batch):
+        """Strided ladder: explicit num_steps=T equals the default full-T
+        run (unit-stride keeps the legacy score-form step); a short ladder
+        is finite and leaves no generated atom in the absorbing state."""
+        model, params = setup
+        lig = atom_batch.ligand.replace(atype=jnp.zeros_like(
+            atom_batch.ligand.atype))
+        b = atom_batch.replace(ligand=lig)
+        rng = jax.random.PRNGKey(4)
+        full = sample_diffbp(model, params, b, rng)
+        explicit = sample_diffbp(model, params, b, rng,
+                                 num_steps=model.num_timesteps)
+        np.testing.assert_array_equal(np.asarray(full["pos"]),
+                                      np.asarray(explicit["pos"]))
+        fast = sample_diffbp(model, params, b, rng, num_steps=4)
+        assert np.isfinite(np.asarray(fast["pos"])).all()
+        a = np.asarray(fast["atype"])
+        assert (a >= 0).all() and (a < model.num_classes).all()
+        # short ladder actually moved generated positions off the prior
+        gen = np.asarray(b.ligand.gen_flag & b.ligand.mask)
+        assert not np.allclose(np.asarray(fast["pos"])[gen],
+                               np.asarray(b.ligand.pos)[gen])
+
 
 def test_interior_loss_behavior():
     """Anti-clash: the softmin squared distance to protein atoms is pushed
