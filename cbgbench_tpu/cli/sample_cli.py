@@ -200,18 +200,18 @@ def main(argv=None):
     seed = cfg.get("sampling", {}).get("seed", 2022)
     sampler = SAMPLERS.get(model_cfg["type"])
     if args.num_steps is not None:
-        if model_cfg["type"] not in ("targetdiff", "diffsbdd", "diffbp"):
+        strided = ("targetdiff", "diffsbdd", "diffbp", "difffg", "difffg_v2")
+        if model_cfg["type"] not in strided:
             raise SystemExit(f"--num_steps: {model_cfg['type']} has no "
-                             "strided-sampler support "
-                             "(targetdiff/diffsbdd/diffbp)")
-        if model_cfg["type"] == "diffsbdd" and args.eta != 1.0:
-            raise SystemExit("--eta: diffsbdd's variational sampler has no "
-                             "DDIM mode (targetdiff only)")
-        import functools
-        kw = {"num_steps": args.num_steps}
-        if model_cfg["type"] == "targetdiff":
-            kw["eta"] = args.eta
-        sampler = functools.partial(sampler, **kw)
+                             f"strided-sampler support {strided}")
+        if model_cfg["type"] != "targetdiff" and args.eta != 1.0:
+            raise SystemExit("--eta: only targetdiff has a DDIM mode")
+        if sampler is not None:
+            import functools
+            kw = {"num_steps": args.num_steps}
+            if model_cfg["type"] == "targetdiff":
+                kw["eta"] = args.eta
+            sampler = functools.partial(sampler, **kw)
         log.info("fast sampling: ~%d strided steps, eta=%.2f",
                  args.num_steps, args.eta)
 
@@ -241,7 +241,8 @@ def main(argv=None):
         for i in indices:
             t_start = time.time()
             pool = run_stage1(model, params, ds, i, num_samples,
-                              args.batch_size, args.out_root, rng_seed=seed)
+                              args.batch_size, args.out_root, rng_seed=seed,
+                              num_steps=args.num_steps)
             dt = time.time() - t_start
             log.info("pocket %d: stage-1 FG pool at %s | %.1fs", i, pool, dt)
             summary.append({"index": int(i), "pool": pool, "seconds": dt})

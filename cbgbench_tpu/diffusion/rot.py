@@ -69,3 +69,21 @@ class RotVPScheduler:
         R_next = so3vec_to_rotation(e) @ so3vec_to_rotation(o_pred)
         o_next = rotation_to_so3vec(R_next)
         return jnp.where(gen_flag[..., None], o_next, ot)
+
+    def backward_strided(self, key, o_pred, ot, t, s, gen_flag):
+        """Strided reverse jump t -> s. The unit step already re-samples
+        around the predicted clean rotation (Exp(e_sigma_t) @ R_pred, no
+        R_t dependence — diffab lineage), so a jump simply draws from the
+        forward marginal at s: Exp(e_{sqrt(1-abar_s)}) @ Exp(sqrt(abar_s)
+        o_pred). s = -1 decodes to the prediction exactly. No reference
+        counterpart (full-T sampling only)."""
+        s_node = jnp.broadcast_to(s[:, None], ot.shape[:2])
+        s_eff = jnp.maximum(s_node, 0)
+        abar_s = jnp.where(s_node >= 0,
+                           self.tables.alphas_cumprod[s_eff], 1.0)[..., None]
+        e = random_normal_so3(key, s_eff, self.angular_fwd)
+        e = jnp.where((s_node >= 0)[..., None], e, 0.0)
+        R_next = so3vec_to_rotation(e) @ so3vec_to_rotation(
+            jnp.sqrt(abar_s) * o_pred)
+        o_next = rotation_to_so3vec(R_next)
+        return jnp.where(gen_flag[..., None], o_next, ot)

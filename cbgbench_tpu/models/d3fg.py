@@ -22,6 +22,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants.fg import NUM_FG_TYPES
 from ..constants.protein import NUM_AA_TYPES
@@ -184,8 +185,14 @@ class D3FG(nn.Module):
                 + self.loss_weight_fg * loss_dict["fg"])
 
 
-@functools.partial(jax.jit, static_argnames=("model", "n_steps"))
-def _sample_chunk(model: D3FG, params, batch, carry, t_hi, n_steps):
+@functools.partial(jax.jit, static_argnames=("model", "unit_stride"))
+def _sample_chunk(model: D3FG, params, batch, carry, t_arr, s_arr,
+                  unit_stride: bool = True):
+    """Scan reverse jumps t_arr[i] -> s_arr[i] over frames (pos + SO(3)
+    orientation + FG type). unit_stride keeps the reference's unit-step
+    machinery; strided ladders use the closed-form jump posteriors
+    (positions via x0, orientations via the forward marginal at s around
+    the predicted clean rotation, types via the composed D3PM kernel)."""
     lig = batch.ligand
     gen = lig.gen_flag & lig.mask
     pos_sched = CTNVPScheduler.create(
@@ -198,35 +205,57 @@ def _sample_chunk(model: D3FG, params, batch, carry, t_hi, n_steps):
         model.num_timesteps, model.num_fg_types, model.fg_schedule,
         cosine_s=model.fg_cosine_s)
 
-    def step(carry, i):
+    def step(carry, t_s):
         xc, o, c, key = carry
+        t_i, s_i = t_s
         key, k1, k2, k3 = jax.random.split(key, 4)
-        t = jnp.full((xc.shape[0],), t_hi - i, jnp.int32)
+        t = jnp.full((xc.shape[0],), t_i, jnp.int32)
+        s = jnp.full((xc.shape[0],), s_i, jnp.int32)
         c_full = jnp.concatenate(
             [c, jnp.zeros(c.shape[:-1] + (NUM_AA_TYPES,))], axis=-1)
         eps_pos, o_next, _, c_pred = model.apply(params, xc, o, c_full,
                                                  batch, t, method="denoise")
-        xc_next = pos_sched.backward_remove_noise(
-            k1, eps_pos, xc, t, gen, pred_type=model.pos_loss_type)
-        o_next = rot_sched.backward_remove_noise(k2, o_next, o, t, gen)
-        c_next, _ = type_sched.backward_remove_noise(k3, c_pred, c, t, gen)
+        if unit_stride:
+            xc_next = pos_sched.backward_remove_noise(
+                k1, eps_pos, xc, t, gen, pred_type=model.pos_loss_type)
+            o_next = rot_sched.backward_remove_noise(k2, o_next, o, t, gen)
+            c_next, _ = type_sched.backward_remove_noise(k3, c_pred, c,
+                                                         t, gen)
+        else:
+            if model.pos_loss_type == "score":
+                a = pos_sched.tables.alphas_cumprod[t][:, None, None]
+                x0_hat = (xc - jnp.sqrt(1.0 - a) * eps_pos) / jnp.sqrt(a)
+            else:
+                x0_hat = eps_pos
+            xc_next = pos_sched.backward_strided(k1, x0_hat, xc, t, s, gen)
+            o_next = rot_sched.backward_strided(k2, o_next, o, t, s, gen)
+            c_next, _ = type_sched.backward_strided(k3, c_pred, c, t, s, gen)
         return (xc_next, o_next, c_next, key), None
 
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_steps))
+    carry, _ = jax.lax.scan(step, carry, (t_arr, s_arr))
     return carry
 
 
-def sample_d3fg(model: D3FG, params, batch, rng, chunk_size: int = 100):
+def sample_d3fg(model: D3FG, params, batch, rng, chunk_size: int = 100,
+                num_steps=None):
+    """num_steps < num_timesteps runs a strided fast-sampling ladder."""
+    from .targetdiff import sample_timesteps
     lig = batch.ligand
     c_in = jax.nn.one_hot(lig.type_fg, model.num_fg_types)
     carry = (lig.pos, lig.orient, c_in, rng)
-    t_hi = model.num_timesteps - 1
-    while t_hi >= 0:
-        n = min(chunk_size, t_hi + 1)
+    ts = sample_timesteps(model.num_timesteps, num_steps)
+    ss = np.append(ts[1:], np.int32(-1)).astype(np.int32)
+    unit_stride = len(ts) == model.num_timesteps
+    chunk = min(chunk_size, len(ts))
+    lo = 0
+    while lo < len(ts):
+        n = min(chunk, len(ts) - lo)
         carry = _sample_chunk(model, params, batch, carry,
-                              jnp.asarray(t_hi, jnp.int32), n)
+                              jnp.asarray(ts[lo:lo + n]),
+                              jnp.asarray(ss[lo:lo + n]),
+                              unit_stride=unit_stride)
         jax.block_until_ready(carry[0])
-        t_hi -= n
+        lo += n
     xc, o, c, _ = carry
     return {"pos": xc, "orient": o, "type_fg": jnp.argmax(c, -1), "c": c}
 

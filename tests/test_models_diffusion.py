@@ -192,3 +192,22 @@ class TestD3FG:
         assert np.isfinite(np.asarray(out["orient"])).all()
         tf = np.asarray(out["type_fg"])
         assert (tf >= 0).all() and (tf < 28).all()
+
+    def test_fast_sampling_strided(self, setup):
+        """Strided frame ladder: explicit num_steps=T equals the default
+        full-T run; a short ladder stays finite with unit-ish orientation
+        vectors decoded from valid rotations."""
+        from cbgbench_tpu.utils.so3 import so3vec_to_rotation
+        model, params, batch = setup
+        rng = jax.random.PRNGKey(4)
+        full = sample_d3fg(model, params, batch, rng)
+        explicit = sample_d3fg(model, params, batch, rng,
+                               num_steps=model.num_timesteps)
+        np.testing.assert_array_equal(np.asarray(full["pos"]),
+                                      np.asarray(explicit["pos"]))
+        fast = sample_d3fg(model, params, batch, rng, num_steps=4)
+        assert np.isfinite(np.asarray(fast["pos"])).all()
+        R = np.asarray(so3vec_to_rotation(fast["orient"]))
+        eye = np.broadcast_to(np.eye(3), R.shape)
+        np.testing.assert_allclose(R @ np.swapaxes(R, -1, -2), eye,
+                                   atol=1e-4)
