@@ -158,7 +158,10 @@ def pad_ligand(pos, atype, gen_flag=None, bond_index=None, bond_type=None,
     )
 
 
-def pad_protein(pos, element, is_backbone, aa, cap: int = DEFAULT_REC_CAP):
+def pad_protein(pos, element, is_backbone, aa, cap: int = DEFAULT_REC_CAP,
+                **_extra):
+    # _extra absorbs featurizer keys the generic batch does not carry
+    # (e.g. is_alpha, used only by FLAG's structure-refinement pairs)
     pos = np.asarray(pos, np.float32)
     n = pos.shape[0]
     return dict(

@@ -107,3 +107,20 @@ def test_test_time_decomp_is_deterministic_per_complex():
                             np.random.default_rng(s))["ligand"]["gen_flag"],
                         bool) for s in range(6)]
         assert any((v[0] != x).any() for x in v[1:])
+
+
+def test_stack_batch_tolerates_extra_protein_keys():
+    """featurize_protein grew an is_alpha key (FLAG sr pairs); the generic
+    stack path must absorb unknown featurizer keys instead of crashing
+    (regression: the q2 linker finetune died on pad_protein(is_alpha=...))."""
+    import numpy as np
+
+    from cbgbench_tpu.data.batch import stack_batch
+    from cbgbench_tpu.data.dataset import RawPairDataset, example_pairs
+    ds = RawPairDataset(example_pairs()[:1], mode="add_aromatic",
+                        pocket_radius=10.0)
+    s = ds.get(0, np.random.default_rng(0))
+    assert "is_alpha" in s["protein"]
+    s["protein"]["future_key"] = np.zeros(len(s["protein"]["pos"]))
+    b = stack_batch([s], lig_cap=96, rec_cap=928)
+    assert b.protein.pos.shape == (1, 928, 3)
