@@ -114,7 +114,7 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
             mols = sample_flag_batch(
                 model, params, base, ds._flag_vocab,
                 seeds=[seed + bi * 997 + s for s in range(bs)],
-                max_steps=lig_cap // 4,
+                max_steps=12,     # reference default (flag.py:251)
                 lig_cap=min(lig_cap, 64), rec_cap=rec_cap,
                 refine_iters=refine_iters)
             yield ("mols", [m for m in mols if m is not None])
