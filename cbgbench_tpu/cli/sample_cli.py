@@ -117,7 +117,7 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
                 max_steps=12,     # reference default (flag.py:251)
                 lig_cap=min(lig_cap, 64), rec_cap=rec_cap,
                 refine_iters=refine_iters)
-            yield ("mols", [m for m in mols if m is not None])
+            yield ("mols", [m for m in mols if m is not None], bs)
         else:
             raise ValueError(model_type)
         done += bs
@@ -280,11 +280,16 @@ def main(argv=None):
         for bi, batch in enumerate(iterator):
             if isinstance(batch, tuple) and isinstance(batch[0], str) \
                     and batch[0] == "mols":
-                # FLAG yields whole molecules (bonds known from templates)
-                for mol in batch[1]:
+                # FLAG yields whole molecules (bonds known from templates).
+                # Growth failures (None results) are dropped upstream but
+                # still count as attempts — the validity denominator must
+                # reflect seeds tried, not molecules returned.
+                for mol in batch[1] + [None] * (batch[2] - len(batch[1])):
                     if n_done >= num_samples:
                         break
                     n_done += 1
+                    if mol is None:
+                        continue
                     try:
                         frag, ok = evaluate_validity(mol)
                     except Exception:
