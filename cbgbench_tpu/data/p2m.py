@@ -275,28 +275,32 @@ def stack_p2m_batch(samples, lig_cap=64, rec_cap=448, msk_cap=64,
     )
     for i, s in enumerate(samples):
         rec = s["protein"]
-        nr = len(rec["pos"])
-        out["rec_pos"][i, :nr] = rec["pos"]
-        out["rec_element"][i, :nr] = rec["element"]
-        out["rec_is_backbone"][i, :nr] = rec["is_backbone"]
-        out["rec_aa"][i, :nr] = rec["aa"]
+        # truncate to the fixed capacities (padded-layout policy: real
+        # CrossDocked ligands can exceed lig_cap — e.g. 6HAX's 66 atoms
+        # at cap 64 — and must clip, not crash)
+        nr = min(len(rec["pos"]), rec_cap)
+        out["rec_pos"][i, :nr] = rec["pos"][:nr]
+        out["rec_element"][i, :nr] = rec["element"][:nr]
+        out["rec_is_backbone"][i, :nr] = rec["is_backbone"][:nr]
+        out["rec_aa"][i, :nr] = rec["aa"][:nr]
         out["rec_mask"][i, :nr] = True
-        out["rec_focal_flag"][i, :nr] = s["rec_focal"]
-        out["rec_pred_flag"][i, :nr] = s["rec_pred"]
-        nl = len(s["ctx_atype"])
-        out["ctx_pos"][i, :nl] = s["ctx_pos"]
-        out["ctx_atype"][i, :nl] = s["ctx_atype"]
+        out["rec_focal_flag"][i, :nr] = s["rec_focal"][:nr]
+        out["rec_pred_flag"][i, :nr] = s["rec_pred"][:nr]
+        nl = min(len(s["ctx_atype"]), lig_cap)
+        out["ctx_pos"][i, :nl] = s["ctx_pos"][:nl]
+        out["ctx_atype"][i, :nl] = s["ctx_atype"][:nl]
         out["ctx_mask"][i, :nl] = True
         bi, bt = s["ctx_bond_index"], s["ctx_bond_type"]
         if bi.size:
-            out["ctx_bond"][i, bi[0], bi[1]] = bt
-        out["ctx_focal_flag"][i, :nl] = s["ctx_focal"]
-        out["ctx_pred_flag"][i, :nl] = s["ctx_pred"]
-        out["ctx_frontier"][i, :nl] = s["frontier"]
-        nm = len(s["msk_pos"])
-        out["msk_pos"][i, :nm] = s["msk_pos"]
+            keep = (bi[0] < lig_cap) & (bi[1] < lig_cap)
+            out["ctx_bond"][i, bi[0][keep], bi[1][keep]] = bt[keep]
+        out["ctx_focal_flag"][i, :nl] = s["ctx_focal"][:nl]
+        out["ctx_pred_flag"][i, :nl] = s["ctx_pred"][:nl]
+        out["ctx_frontier"][i, :nl] = s["frontier"][:nl]
+        nm = min(len(s["msk_pos"]), msk_cap)
+        out["msk_pos"][i, :nm] = s["msk_pos"][:nm]
         out["msk_mask"][i, :nm] = True
-        out["msk_gen_flag"][i, :nm] = s["msk_gen"]
+        out["msk_gen_flag"][i, :nm] = s["msk_gen"][:nm]
         for key in ("lig_focal_edge", "rec_focal_edge"):
             fe = s[key][:ef_cap]
             out[key][i, :len(fe)] = fe

@@ -135,3 +135,23 @@ def test_sampling_scan_matches_host(setup, p2m_batch):
                                   np.asarray(host["bond"]))
     np.testing.assert_allclose(np.asarray(dev["pos"]),
                                np.asarray(host["pos"]), atol=1e-5)
+
+
+def test_stack_p2m_batch_truncates_oversized_ligand():
+    """Real CrossDocked ligands can exceed lig_cap (6HAX: 66 atoms at cap
+    64); the stacker must clip to capacity, not crash (regression: the
+    q2 100x5 protocol run died on pocket 4)."""
+    import numpy as np
+
+    from cbgbench_tpu.data.dataset import RawPairDataset, example_pairs
+    from cbgbench_tpu.data.p2m import build_p2m_sample, stack_p2m_batch
+    pairs = [p for p in example_pairs() if "6HAX" in p[1] or "6hax" in p[1]]
+    assert pairs, "6HAX fixture missing"
+    ds = RawPairDataset(pairs, mode="add_aromatic", pocket_radius=10.0)
+    rng = np.random.default_rng(0)
+    base = ds.get(0, rng)
+    assert len(base["ligand"]["atype"]) > 64
+    s = build_p2m_sample(base, rng, num_contrast=4, edge_cap=8)
+    batch = stack_p2m_batch([s], lig_cap=64, rec_cap=928)
+    assert batch.ctx_pos.shape[1] == 64
+    assert batch.msk_pos.shape[1] == 64
