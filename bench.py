@@ -84,9 +84,11 @@ def main():
         from cbgbench_tpu.models.targetdiff import _sample_chunk
         c_in = jax.nn.one_hot(batch.ligand.atype, model.num_classes)
         t_arr = jnp.arange(T - 1, T - 1 - CHUNK, -1, dtype=jnp.int32)
+        # unit_stride=True: cost-model the exact program the full-T
+        # protocol sampler compiles (table-based unit steps)
         lowered = _sample_chunk.lower(
             model, params, batch, (batch.ligand.pos, c_in, rng),
-            t_arr, t_arr - 1)
+            t_arr, t_arr - 1, unit_stride=True)
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

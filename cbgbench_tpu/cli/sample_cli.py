@@ -61,12 +61,12 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
                                                edge_cap=8)
                            for _ in range(bs)]
                 start = stack_p2m_batch(samples, lig_cap=lig_cap,
-                                        rec_cap=rec_cap)
+                                        rec_cap=rec_cap, truncate=True)
             else:
                 samples = [build_p2m_sample(base, rng, num_contrast=4,
                                             edge_cap=8) for _ in range(bs)]
                 batch = stack_p2m_batch(samples, lig_cap=lig_cap,
-                                        rec_cap=rec_cap)
+                                        rec_cap=rec_cap, truncate=True)
                 start = batch.replace(
                     ctx_pos=jnp.zeros_like(batch.ctx_pos),
                     ctx_atype=jnp.zeros_like(batch.ctx_atype),
@@ -200,6 +200,8 @@ def main(argv=None):
     seed = cfg.get("sampling", {}).get("seed", 2022)
     sampler = SAMPLERS.get(model_cfg["type"])
     if args.num_steps is not None:
+        if args.num_steps < 1:
+            raise SystemExit("--num_steps must be >= 1")
         strided = ("targetdiff", "diffsbdd", "diffbp", "difffg", "difffg_v2")
         if model_cfg["type"] not in strided:
             raise SystemExit(f"--num_steps: {model_cfg['type']} has no "

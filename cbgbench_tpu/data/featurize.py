@@ -17,6 +17,9 @@ from ..constants.molecule import (MAP_ATOM_TYPE_AROMATIC_TO_INDEX,
                                   MAP_ATOM_TYPE_ONLY_TO_INDEX)
 from ..chem.mol import Molecule, bond_index_arrays
 from ..chem.pdb import PocketAtoms
+from ..constants.protein import POCKET_ATOMIC_NUMBERS
+
+_POCKET_C_INDEX = POCKET_ATOMIC_NUMBERS.index(6)
 
 
 def infer_hybridization(mol: Molecule):
@@ -79,7 +82,11 @@ def featurize_protein(atoms: PocketAtoms) -> Dict[str, np.ndarray]:
         "is_backbone": np.asarray(atoms.is_backbone, bool),
         "aa": np.asarray(atoms.atom_to_aa_type, np.int32),
         # alpha carbons anchor FLAG's structure-refinement pairs
-        # (reference: utils/data.py protein_alpha_carbon_index)
+        # (reference: utils/data.py protein_alpha_carbon_index); nameless
+        # atoms fall back to backbone carbons (same as
+        # flag_data._alpha_indices), not all backbone atoms
         "is_alpha": np.asarray([n == "CA" for n in atoms.atom_name], bool)
-        if atoms.atom_name else np.asarray(atoms.is_backbone, bool),
+        if atoms.atom_name else (np.asarray(atoms.is_backbone, bool)
+                                 & (np.asarray(atoms.element_index)
+                                    == _POCKET_C_INDEX)),
     }

@@ -240,7 +240,12 @@ def build_p2m_ctx_start(sample: dict, num_contrast: int = 4,
 
 
 def stack_p2m_batch(samples, lig_cap=64, rec_cap=448, msk_cap=64,
-                    ef_cap=48) -> P2MBatch:
+                    ef_cap=48, truncate=False) -> P2MBatch:
+    """truncate=False (training): an oversized sample raises ValueError so
+    the loader drops the batch — truncated supervision is corrupted
+    supervision. truncate=True (sampling): clip to capacity instead; real
+    CrossDocked ligands can exceed lig_cap (6HAX: 66 atoms at cap 64) and
+    a sampler must still run, generating up to cap atoms."""
     from .batch import _pad_to
 
     b = len(samples)
@@ -275,9 +280,13 @@ def stack_p2m_batch(samples, lig_cap=64, rec_cap=448, msk_cap=64,
     )
     for i, s in enumerate(samples):
         rec = s["protein"]
-        # truncate to the fixed capacities (padded-layout policy: real
-        # CrossDocked ligands can exceed lig_cap — e.g. 6HAX's 66 atoms
-        # at cap 64 — and must clip, not crash)
+        if not truncate and (len(s["ctx_atype"]) > lig_cap
+                             or len(s["msk_pos"]) > msk_cap
+                             or len(rec["pos"]) > rec_cap):
+            raise ValueError(
+                f"sample exceeds shape bucket (ctx {len(s['ctx_atype'])}/"
+                f"{lig_cap}, msk {len(s['msk_pos'])}/{msk_cap}, rec "
+                f"{len(rec['pos'])}/{rec_cap}); pass truncate=True to clip")
         nr = min(len(rec["pos"]), rec_cap)
         out["rec_pos"][i, :nr] = rec["pos"][:nr]
         out["rec_element"][i, :nr] = rec["element"][:nr]
@@ -301,15 +310,19 @@ def stack_p2m_batch(samples, lig_cap=64, rec_cap=448, msk_cap=64,
         out["msk_pos"][i, :nm] = s["msk_pos"][:nm]
         out["msk_mask"][i, :nm] = True
         out["msk_gen_flag"][i, :nm] = s["msk_gen"][:nm]
-        for key in ("lig_focal_edge", "rec_focal_edge"):
-            fe = s[key][:ef_cap]
+        for key, src_cap in (("lig_focal_edge", nl), ("rec_focal_edge", nr)):
+            fe = s[key]
+            if fe.size:     # drop edges referencing truncated atoms
+                fe = fe[(fe[:, 0] < src_cap) & (fe[:, 1] < nm)]
+            fe = fe[:ef_cap]
             out[key][i, :len(fe)] = fe
             out[key + "_mask"][i, :len(fe)] = True
         out["con_pos_real"][i] = s["con_pos_real"]
         out["con_type_real"][i] = s["con_type_real"]
         out["con_pos_fake"][i] = s["con_pos_fake"]
-        out["con_edge_ctx"][i] = s["con_edge_ctx"]
+        out["con_edge_ctx"][i] = np.minimum(s["con_edge_ctx"], lig_cap - 1)
         out["con_edge_type"][i] = s["con_edge_type"]
-        out["con_edge_mask"][i] = s["con_edge_mask"]
+        out["con_edge_mask"][i] = (s["con_edge_mask"]
+                                   & (s["con_edge_ctx"] < lig_cap))
         out["translation"][i] = s["translation"]
     return P2MBatch(**{k: jnp.asarray(v) for k, v in out.items()})

@@ -111,10 +111,12 @@ class FLAG(nn.Module):
         x_a = gather_neighbors(batch.rec_pos, batch.ca_idx)     # [B, NA, 3]
         h_a = gather_neighbors(h_rec, batch.ca_idx)             # [B, NA, D]
 
-        def forces(h_src, x_dst, h_dst, m_dst, head):
+        def forces(h_src, x_dst, h_dst, m_dst, head, exclude_self=False):
             diff = x_l[:, :, None] - x_dst[:, None]             # [B,NL,NA,3]
             d = jnp.sqrt(jnp.sum(diff ** 2, -1) + 1e-12)
             pm = (lm[:, :, None] & m_dst[:, None] & (d <= 10.0))
+            if exclude_self:        # intra-ligand: d=0 survives the gate
+                pm = pm & ~jnp.eye(d.shape[1], dtype=bool)[None]
             rbf = gaussian_smearing(d, 0.0, 10.0, self.vec_dim,
                                     fixed_offset=False)
             nl, na = d.shape[1], d.shape[2]
@@ -132,10 +134,8 @@ class FLAG(nn.Module):
 
         f1, d1, pm1 = forces(h_lig, x_a, h_a, batch.ca_mask,
                              self.refine_protein)
-        # intra-ligand pairs exclude self (d=0 survives the 10 A gate)
-        eye = jnp.eye(x_l.shape[1], dtype=bool)[None]
-        f2, d2, pm2 = forces(h_lig, x_l, h_lig, lm, self.refine_ligand)
-        pm2 = pm2 & ~eye
+        f2, d2, pm2 = forces(h_lig, x_l, h_lig, lm, self.refine_ligand,
+                             exclude_self=True)
         new_pos = jnp.where(lm[..., None], x_l + f1 + f2, x_l)
         return new_pos, (d1, pm1, x_a), (d2, pm2)
 

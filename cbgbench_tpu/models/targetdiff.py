@@ -189,7 +189,7 @@ class TargetDiff(nn.Module):
                                              "unit_stride"))
 def _sample_chunk(model: TargetDiff, params, batch, carry, t_arr, s_arr,
                   with_traj: bool = False, eta: float = 1.0,
-                  unit_stride: bool = False):
+                  unit_stride: bool = True):
     """Scan reverse-diffusion jumps t_arr[i] -> s_arr[i] (s = -1 means
     decode to clean x0). unit_stride=True uses the precomputed unit-step
     posterior tables (bitwise the full-T DDPM loop; the on-the-fly
@@ -272,6 +272,9 @@ def sample_timesteps(total: int, num_steps=None) -> np.ndarray:
     lower)."""
     if num_steps is None or num_steps >= total:
         return np.arange(total - 1, -1, -1, dtype=np.int32)
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps} "
+                         "(0 would return the untouched prior)")
     ts = np.round(np.linspace(0, total - 1, int(num_steps)))
     return np.unique(ts.astype(np.int32))[::-1].copy()
 
@@ -304,7 +307,9 @@ def sample_targetdiff(model: TargetDiff, params, batch, rng,
     carry = (lig.pos, c_in, rng)
     ts = sample_timesteps(model.num_timesteps, num_steps)
     ss = np.append(ts[1:], np.int32(-1)).astype(np.int32)
-    unit_stride = len(ts) == model.num_timesteps
+    # the exact-table unit-step path never reads eta, so a DDIM request
+    # (eta != 1) must use the strided math even on a full-T ladder
+    unit_stride = len(ts) == model.num_timesteps and eta == 1.0
     chunk = min(chunk_size, len(ts))
     traj = []
     lo = 0

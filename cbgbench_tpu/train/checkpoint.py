@@ -60,9 +60,10 @@ def best_checkpoint(ckpt_dir: str) -> Optional[str]:
         try:
             with open(meta_path) as f:
                 val = json.load(f).get("avg_val_loss")
-        except OSError:
+        except (OSError, ValueError):    # missing or truncated meta
             val = None
-        if val is not None:
+        # a NaN val (diverged validation) must never win min()
+        if val is not None and np.isfinite(float(val)):
             scored.append((float(val), int(d)))
     if not scored:
         return latest_checkpoint(ckpt_dir)

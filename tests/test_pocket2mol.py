@@ -152,6 +152,16 @@ def test_stack_p2m_batch_truncates_oversized_ligand():
     base = ds.get(0, rng)
     assert len(base["ligand"]["atype"]) > 64
     s = build_p2m_sample(base, rng, num_contrast=4, edge_cap=8)
-    batch = stack_p2m_batch([s], lig_cap=64, rec_cap=928)
+    import pytest
+    with pytest.raises(ValueError, match="shape bucket"):
+        stack_p2m_batch([s], lig_cap=64, rec_cap=928)   # training default
+    batch = stack_p2m_batch([s], lig_cap=64, rec_cap=928,
+                            truncate=True)
     assert batch.ctx_pos.shape[1] == 64
     assert batch.msk_pos.shape[1] == 64
+    # no surviving supervision edge may reference a truncated atom
+    lfe = np.asarray(batch.lig_focal_edge)[np.asarray(
+        batch.lig_focal_edge_mask)]
+    assert (lfe[:, 0] < 64).all() and (lfe[:, 1] < 64).all()
+    cec = np.asarray(batch.con_edge_ctx)[np.asarray(batch.con_edge_mask)]
+    assert (cec < 64).all()
