@@ -265,11 +265,19 @@ def main(argv=None):
     start_it = 0
     resume_path = args.resume or cfg.get("resume")
     if resume_path:
-        loaded, meta = load_checkpoint(resume_path, state)
         if args.finetune:
-            state = state.replace(params=loaded.params)
-            log.info("finetuning from %s (params only, iter 0)", resume_path)
+            # raw (target-free) restore tolerates architecture drift: new
+            # heads absent from the checkpoint keep their fresh init
+            from ..train.checkpoint import merge_param_trees
+            raw, meta = load_checkpoint(resume_path)
+            merged, got, fresh = merge_param_trees(state.params,
+                                                   raw["params"])
+            state = state.replace(params=merged)
+            log.info("finetuning from %s (params only, iter 0): %d leaves "
+                     "loaded, %d fresh%s", resume_path, len(got), len(fresh),
+                     (" (" + ", ".join(fresh[:6]) + ")") if fresh else "")
         else:
+            loaded, meta = load_checkpoint(resume_path, state)
             state = loaded
             start_it = meta["iteration"]
             plateau.load_state_dict(meta.get("plateau")

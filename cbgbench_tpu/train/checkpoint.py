@@ -71,6 +71,34 @@ def best_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, str(step))
 
 
+def merge_param_trees(init_tree, loaded_tree, _prefix=""):
+    """Overlay ``loaded_tree`` onto ``init_tree`` by matching path+shape.
+
+    Finetune helper for architecture evolution (e.g. a checkpoint trained
+    before a new head existed): leaves present in both trees with equal
+    shapes take the loaded value; everything else keeps its fresh init.
+    Returns (merged, loaded_paths, fresh_paths). The reference's strict
+    ``load_state_dict`` (train.py:165) has no such tolerance — this is the
+    jax-side analogue of ``strict=False``.
+    """
+    loaded_paths, fresh_paths = [], []
+    if isinstance(init_tree, dict):
+        merged = {}
+        for k, v in init_tree.items():
+            sub = (loaded_tree or {}).get(k) if isinstance(loaded_tree, dict) \
+                else None
+            m, lp, fp = merge_param_trees(v, sub, f"{_prefix}{k}/")
+            merged[k] = m
+            loaded_paths += lp
+            fresh_paths += fp
+        return merged, loaded_paths, fresh_paths
+    # leaf
+    if loaded_tree is not None and \
+            np.shape(loaded_tree) == np.shape(init_tree):
+        return np.asarray(loaded_tree), [_prefix[:-1]], []
+    return init_tree, [], [_prefix[:-1]]
+
+
 def load_checkpoint(path: str, target_state=None,
                     select: str = "latest") -> Tuple[Any, dict]:
     """path: a specific step dir or a ckpt_dir (resolved via ``select``:

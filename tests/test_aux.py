@@ -285,3 +285,24 @@ def test_loader_no_progress_guard_raises_not_hangs():
                            lig_cap=96, rec_cap=928, seed=0)
     batch = next(ok)
     assert batch is not None
+
+
+def test_merge_param_trees_partial():
+    """Finetune across architecture drift: matching leaves load, new heads
+    keep their init, shape changes keep their init."""
+    import numpy as np
+    from cbgbench_tpu.train.checkpoint import merge_param_trees
+
+    init = {"enc": {"w": np.zeros((2, 3)), "b": np.zeros((3,))},
+            "refine": {"w": np.full((4,), 7.0)}}
+    ckpt = {"enc": {"w": np.ones((2, 3)), "b": np.ones((5,))}}  # b: shape drift
+    merged, got, fresh = merge_param_trees(init, ckpt)
+    assert (merged["enc"]["w"] == 1.0).all()          # loaded
+    assert (merged["enc"]["b"] == 0.0).all()          # shape mismatch -> init
+    assert (merged["refine"]["w"] == 7.0).all()       # absent -> init
+    assert got == ["enc/w"]
+    assert sorted(fresh) == ["enc/b", "refine/w"]
+
+    # identical trees: everything loads (the plain finetune case)
+    m2, got2, fresh2 = merge_param_trees(init, init)
+    assert not fresh2 and len(got2) == 3
