@@ -270,12 +270,20 @@ def main(argv=None):
             # heads absent from the checkpoint keep their fresh init
             from ..train.checkpoint import merge_param_trees
             raw, meta = load_checkpoint(resume_path)
-            merged, got, fresh = merge_param_trees(state.params,
-                                                   raw["params"])
+            merged, got, fresh, unexpected = merge_param_trees(state.params,
+                                                               raw["params"])
             state = state.replace(params=merged)
+            if mesh is not None:
+                # the merge replaced replicated params with host arrays;
+                # restore the explicit replication (multi-host correctness)
+                from ..parallel.mesh import replicate
+                state = jax.device_put(state, replicate(mesh))
             log.info("finetuning from %s (params only, iter 0): %d leaves "
                      "loaded, %d fresh%s", resume_path, len(got), len(fresh),
                      (" (" + ", ".join(fresh[:6]) + ")") if fresh else "")
+            if unexpected:
+                log.info("checkpoint-only (unexpected) leaves ignored: %s",
+                         ", ".join(unexpected[:8]))
         else:
             loaded, meta = load_checkpoint(resume_path, state)
             state = loaded

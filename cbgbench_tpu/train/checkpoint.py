@@ -76,27 +76,37 @@ def merge_param_trees(init_tree, loaded_tree, _prefix=""):
 
     Finetune helper for architecture evolution (e.g. a checkpoint trained
     before a new head existed): leaves present in both trees with equal
-    shapes take the loaded value; everything else keeps its fresh init.
-    Returns (merged, loaded_paths, fresh_paths). The reference's strict
-    ``load_state_dict`` (train.py:165) has no such tolerance — this is the
-    jax-side analogue of ``strict=False``.
+    shapes take the loaded value (cast to the init leaf's dtype so the
+    opt_state initialized from the fresh init stays consistent); everything
+    else keeps its fresh init. Returns (merged, loaded_paths, fresh_paths,
+    unexpected_paths) where unexpected_paths are checkpoint leaves with no
+    counterpart in the init tree. This mirrors the reference's
+    ``load_state_dict(..., strict=False)`` + missing/unexpected-key logging
+    (train.py:165), and additionally tolerates shape mismatches (which
+    PyTorch strict=False does not).
     """
-    loaded_paths, fresh_paths = [], []
+    loaded_paths, fresh_paths, unexpected = [], [], []
     if isinstance(init_tree, dict):
         merged = {}
         for k, v in init_tree.items():
             sub = (loaded_tree or {}).get(k) if isinstance(loaded_tree, dict) \
                 else None
-            m, lp, fp = merge_param_trees(v, sub, f"{_prefix}{k}/")
+            m, lp, fp, up = merge_param_trees(v, sub, f"{_prefix}{k}/")
             merged[k] = m
             loaded_paths += lp
             fresh_paths += fp
-        return merged, loaded_paths, fresh_paths
+            unexpected += up
+        if isinstance(loaded_tree, dict):
+            for k in loaded_tree:
+                if k not in init_tree:
+                    unexpected.append(f"{_prefix}{k}")
+        return merged, loaded_paths, fresh_paths, unexpected
     # leaf
     if loaded_tree is not None and \
             np.shape(loaded_tree) == np.shape(init_tree):
-        return np.asarray(loaded_tree), [_prefix[:-1]], []
-    return init_tree, [], [_prefix[:-1]]
+        dtype = getattr(init_tree, "dtype", None)
+        return np.asarray(loaded_tree, dtype=dtype), [_prefix[:-1]], [], []
+    return init_tree, [], [_prefix[:-1]], []
 
 
 def load_checkpoint(path: str, target_state=None,

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .knn import _BIG, _split_planes, knn_neighbors
+from cbgbench_tpu.ops.knn import _BIG, _split_planes, knn_neighbors
 
 
 class BandSpec(NamedTuple):
@@ -210,7 +210,7 @@ def banded_gather(x, idx, spec: BandSpec):
     guaranteed inside that row's candidate set, so the narrow one-hot
     selects exactly the same values (bitwise: both paths are 1.0-weighted
     bf16 dots over the identical 3-plane payload)."""
-    from .knn import gather_neighbors
+    from cbgbench_tpu.ops.knn import gather_neighbors
 
     squeeze = x.ndim == idx.ndim - 1
     if squeeze:

@@ -10,7 +10,11 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from cbgbench_tpu.ops.banded import (BandSpec, band_recall, band_starts,
+# retired experiment (BASELINE.md round-2b: banding is HBM-bound, not MXU-bound)
+# moved out of the package; run manually: pytest scripts/test_banded_experiment.py
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))
+from banded_experiment import (BandSpec, band_recall, band_starts,
                                      banded_applicable, banded_gather,
                                      banded_neighbors, morton_order,
                                      sort_protein_spatial)

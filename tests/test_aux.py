@@ -295,14 +295,18 @@ def test_merge_param_trees_partial():
 
     init = {"enc": {"w": np.zeros((2, 3)), "b": np.zeros((3,))},
             "refine": {"w": np.full((4,), 7.0)}}
-    ckpt = {"enc": {"w": np.ones((2, 3)), "b": np.ones((5,))}}  # b: shape drift
-    merged, got, fresh = merge_param_trees(init, ckpt)
+    ckpt = {"enc": {"w": np.ones((2, 3), np.float16),  # dtype drift
+                    "b": np.ones((5,))},               # shape drift
+            "old_head": {"w": np.ones((2,))}}          # checkpoint-only
+    merged, got, fresh, unexpected = merge_param_trees(init, ckpt)
     assert (merged["enc"]["w"] == 1.0).all()          # loaded
+    assert merged["enc"]["w"].dtype == np.float64     # cast to init dtype
     assert (merged["enc"]["b"] == 0.0).all()          # shape mismatch -> init
     assert (merged["refine"]["w"] == 7.0).all()       # absent -> init
     assert got == ["enc/w"]
     assert sorted(fresh) == ["enc/b", "refine/w"]
+    assert unexpected == ["old_head"]                 # reported, not silent
 
     # identical trees: everything loads (the plain finetune case)
-    m2, got2, fresh2 = merge_param_trees(init, init)
-    assert not fresh2 and len(got2) == 3
+    m2, got2, fresh2, unexpected2 = merge_param_trees(init, init)
+    assert not fresh2 and not unexpected2 and len(got2) == 3
