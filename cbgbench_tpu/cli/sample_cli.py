@@ -94,14 +94,18 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
             empty = gb.replace(mask=jnp.asarray(mask),
                                gen_flag=jnp.zeros_like(gb.gen_flag),
                                is_first_step=jnp.ones(len(samples), bool))
+            # min_atoms=12 is the reference default (graphbp.py:227);
+            # molecules completing below it are discarded, not force-grown
             out = sample_graphbp(model, params, empty, key,
-                                 max_atoms=lig_cap // 2, min_atoms=8)
+                                 max_atoms=lig_cap // 2, min_atoms=12)
             gmask = np.asarray(out["gen_flag"])
             z_raw = np.asarray(out["z"])
-            # molecule nodes: generated atoms plus any kept ligand-vocab
-            # context nodes (decomp tasks); protein vocab sits at an offset
-            lig_nodes = gmask | (np.asarray(out["mask"])
-                                 & (z_raw < model.num_classes))
+            # molecule nodes: generated atoms plus ligand-vocab context
+            # nodes that were already present BEFORE growth (decomp tasks).
+            # Scanning out["mask"] for ligand-vocab ids would resurrect
+            # atoms of discarded (completed-too-small) molecules — those
+            # have gen_flag cleared but still occupy mask slots.
+            lig_nodes = gmask | (mask & (z_raw < model.num_classes))
             atype = np.clip(z_raw, 0, model.num_classes - 1)
             yield np.asarray(out["pos"]), atype, lig_nodes
         elif model_type == "flag":

@@ -71,9 +71,8 @@ class GraphBPBatch:
     new_dist: jnp.ndarray     # [B]
     new_angle: jnp.ndarray    # [B]
     new_torsion: jnp.ndarray  # [B]
-    is_first_step: jnp.ndarray  # [B] (contact supervision applies)
-    contact_idx: jnp.ndarray  # [B, 2]  (contact, non-contact) node ids
-    contact_label: jnp.ndarray  # [B, 2]
+    is_first_step: jnp.ndarray  # [B]
+    cannot_contact: jnp.ndarray  # [B, N] label per context atom (>4 A away)
     translation: jnp.ndarray  # [B, 3]
 
     @property
@@ -118,11 +117,19 @@ def build_graphbp_sample(sample: dict, rng: np.random.Generator,
 
     n = n_gen
 
-    # contact ids
+    # contact ids + dense cannot-contact labels.  The reference supervises
+    # the contact head with exactly TWO atoms per molecule — the closest
+    # context atom (label 0) and the farthest (label 1)
+    # (reference: repo/models/autoregression/graphbp.py loss; labels built
+    # in permutate.py). On this corpus that signal collapses into an
+    # uninformative head (measured: median score 0.000, 82% of atoms
+    # "eligible"), so we densify: EVERY context atom gets a label,
+    # cannot_contact = min-distance to the crystal ligand > 4 A (the same
+    # 4 A convention as FLAG's rec_contact, flag_data.py:134).
     d_gc = np.linalg.norm(pos_gen[:, None] - rec_pos[None], axis=-1)
     gen_contact = int(np.unravel_index(np.argmin(d_gc), d_gc.shape)[0])
     ctx_contact = int(np.unravel_index(np.argmin(d_gc), d_gc.shape)[1])
-    ctx_noncontact = int(np.argmax(d_gc.sum(0)))
+    cannot_contact_ctx = (d_gc.min(0) > 4.0).astype(np.float32)
 
     # reorder: contact gen atom first, then Prim over gen-gen distances
     perm0 = np.arange(n)
@@ -171,8 +178,8 @@ def build_graphbp_sample(sample: dict, rng: np.random.Generator,
         "cannot_focus": cannot_focus, "focus": f, "c1": c1_, "c2": c2_,
         "new_type": int(types_o[i]), "new_dist": d, "new_angle": angle,
         "new_torsion": torsion, "is_first_step": i == 0,
-        "contact_idx": np.array([ctx_contact, ctx_noncontact], int),
-        "contact_label": np.array([0.0, 1.0], np.float32),  # cannot_contact
+        "cannot_contact": np.concatenate(
+            [cannot_contact_ctx, np.zeros(i, np.float32)]),
         "translation": sample.get("translation", np.zeros(3, np.float32)),
     }
 
@@ -188,8 +195,7 @@ def stack_graphbp_batch(samples, cap: int = 512) -> GraphBPBatch:
         new_dist=np.zeros(b, np.float32), new_angle=np.zeros(b, np.float32),
         new_torsion=np.zeros(b, np.float32),
         is_first_step=np.zeros(b, bool),
-        contact_idx=np.zeros((b, 2), np.int32),
-        contact_label=np.zeros((b, 2), np.float32),
+        cannot_contact=np.zeros((b, cap), np.float32),
         translation=np.zeros((b, 3), np.float32),
     )
     for i, s in enumerate(samples):
@@ -201,8 +207,8 @@ def stack_graphbp_batch(samples, cap: int = 512) -> GraphBPBatch:
         out["mask"][i, :nn_] = True
         out["gen_flag"][i, :nn_] = s["gen_flag"]
         out["cannot_focus"][i, :nn_] = s["cannot_focus"]
+        out["cannot_contact"][i, :nn_] = s["cannot_contact"]
         for k in ("focus", "c1", "c2", "new_type", "new_dist", "new_angle",
-                  "new_torsion", "is_first_step", "contact_idx",
-                  "contact_label", "translation"):
+                  "new_torsion", "is_first_step", "translation"):
             out[k][i] = s[k]
     return GraphBPBatch(**{k: jnp.asarray(v) for k, v in out.items()})

@@ -172,14 +172,17 @@ class GraphBP(nn.Module):
                + (1 - batch.cannot_focus) * jnp.log(1 - focus_score + 1e-12))
              )[..., None], gen_m, axis=(1,)).mean()
 
-        contact_feat = gather_neighbors(node_feat, batch.contact_idx)
-        contact_score = nn.sigmoid(self.contact_mlp(contact_feat)[..., 0])
-        contact_bce = -(batch.contact_label * jnp.log(contact_score + 1e-12)
-                        + (1 - batch.contact_label)
+        # dense contact supervision over ALL context atoms on every row
+        # (deviation from the reference's 2-atom/first-step-only BCE —
+        # see graphbp_seq.py for the rationale; the head is the same)
+        ctx_m = batch.mask & ~batch.gen_flag
+        contact_score = nn.sigmoid(self.contact_mlp(node_feat)[..., 0])
+        contact_bce = -(batch.cannot_contact
+                        * jnp.log(contact_score + 1e-12)
+                        + (1 - batch.cannot_contact)
                         * jnp.log(1 - contact_score + 1e-12))
-        first = batch.is_first_step.astype(jnp.float32)
-        loss_contact = (contact_bce.mean(-1) * first).sum() / \
-            jnp.maximum(first.sum(), 1.0)
+        loss_contact = masked_mean(contact_bce[..., None], ctx_m,
+                                   axis=(1,)).mean()
 
         # dequantized one-hot for the node flow
         x_z = jax.nn.one_hot(batch.new_type, self.num_classes)
@@ -238,7 +241,13 @@ class GraphBP(nn.Module):
         d = flow_reverse(self.dist_flow,
                          jax.random.normal(k2, (b, 1)) * stds[1],
                          dist_feat)[:, 0]
-        d = jnp.clip(jnp.abs(d), 0.9, 2.2)
+        # Numerical guard only — the reference applies no clamp
+        # (graphbp.py:336) and the trained flow must be free to emit the
+        # ~3 Å first-step contact distance; the old hard clip at 2.2 Å
+        # forced every molecule's first atom into vdW overlap with the
+        # protein (the round-2 clash_ratio 0.987 pathology).
+        d = jnp.clip(jnp.abs(d), 0.5, 8.0)
+        d = jnp.where(jnp.isfinite(d), d, 1.5)
         node_emb = node_emb * self.dist_head(self._dist_feat(d))[:, None]
         angle_feat = jnp.concatenate(
             [take(node_emb, batch.focus), take(node_emb, batch.c1)], -1)
@@ -276,6 +285,53 @@ class GraphBP(nn.Module):
         near = jnp.argsort(d, axis=1)
         return focus, near[:, 0].astype(jnp.int32), near[:, 1].astype(jnp.int32)
 
+    def pick_focus_sample(self, batch: GraphBPBatch, rng):
+        """Reference-semantics focus choice for sampling.
+
+        First step: the trained contact head picks uniformly among context
+        atoms with cannot-contact score < 0.5 (reference:
+        graphbp.py:281-291 ``torch.multinomial(can_contact)``). Later
+        steps: uniformly among placed gen atoms with cannot-focus score
+        < 0.5 (reference: graphbp.py:296-316 ``multinomial(can_focus)``) —
+        NOT argmin, which degenerately regrows from the same atom.
+
+        Returns (focus, c1, c2, ok, finite):
+          ok=False     -> no eligible focus: the molecule is complete
+                          (always True on the first step);
+          finite=False -> NaN/Inf scores: the molecule must be discarded
+                          (reference: graphbp.py:304-310 dirty_mask).
+        """
+        node_feat = self.embedder(batch.z, batch.pos, batch.mask)
+        gen_m = batch.gen_flag & batch.mask
+        ctx_m = batch.mask & ~batch.gen_flag
+        first = batch.is_first_step
+
+        focus_score = nn.sigmoid(self.focus_mlp(node_feat)[..., 0])
+        contact_score = nn.sigmoid(self.contact_mlp(node_feat)[..., 0])
+        score = jnp.where(first[:, None], contact_score, focus_score)
+        pool = jnp.where(first[:, None], ctx_m, gen_m)
+        finite = jnp.where(pool, jnp.isfinite(score), True).all(axis=1)
+        can = (score < 0.5) & pool & jnp.isfinite(score)
+        ok = can.any(axis=1) | first
+
+        # uniform choice among eligible atoms (gumbel-argmax == multinomial
+        # over a boolean mask); fallback: lowest score in the pool (first
+        # step with a confident-"no" contact head still must place)
+        g = jax.random.gumbel(rng, score.shape)
+        choice = jnp.argmax(jnp.where(can, g, -jnp.inf), axis=1)
+        safe = jnp.where(jnp.isfinite(score) & pool, score, jnp.inf)
+        fallback = jnp.argmin(safe, axis=1)
+        focus = jnp.where(can.any(axis=1), choice, fallback).astype(jnp.int32)
+
+        d = jnp.linalg.norm(
+            batch.pos - jnp.take_along_axis(batch.pos, focus[:, None, None],
+                                            1), axis=-1)
+        d = jnp.where(batch.mask, d, 1e9)
+        d = d + (jnp.arange(d.shape[1])[None] == focus[:, None]) * 1e9
+        near = jnp.argsort(d, axis=1)
+        return (focus, near[:, 0].astype(jnp.int32),
+                near[:, 1].astype(jnp.int32), ok, finite)
+
 
 @MODELS.register("graphbp")
 def _build_graphbp(cfg):
@@ -292,6 +348,11 @@ def _jit_place(model, params, batch, rng):
 @functools.partial(jax.jit, static_argnames=("model",))
 def _jit_focus(model, params, batch, rng):
     return model.apply(params, batch, rng, method="pick_focus")
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _jit_focus_sample(model, params, batch, rng):
+    return model.apply(params, batch, rng, method="pick_focus_sample")
 
 
 @functools.partial(jax.jit, static_argnames=("model", "max_atoms",
@@ -314,32 +375,36 @@ def _jit_sample_scan(model, params, batch, rng, max_atoms, min_atoms):
     cap = batch.z.shape[1]
 
     def body(carry, it):
-        batch, active, rng = carry
+        batch, active, keep, rng = carry
         rng, k1, k2 = jax.random.split(rng, 3)
-        focus, c1, c2 = model.apply(params, batch, k1, method="pick_focus")
-        later = it > 0
-        batch = batch.replace(
-            focus=jnp.where(later, focus, batch.focus),
-            c1=jnp.where(later, c1, batch.c1),
-            c2=jnp.where(later, c2, batch.c2),
-            is_first_step=batch.is_first_step & (it == 0))
-        new_type, new_pos, ok, _ = model.apply(params, batch, k2,
-                                               method="place_atom")
+        focus, c1, c2, ok, finite = model.apply(params, batch, k1,
+                                                method="pick_focus_sample")
+        batch = batch.replace(focus=focus, c1=c1, c2=c2)
+        new_type, new_pos, _, _ = model.apply(params, batch, k2,
+                                              method="place_atom")
         n_placed = jnp.sum(batch.gen_flag & batch.mask, 1)
         slot = jnp.sum(batch.mask, 1)
-        live = active & (ok | (n_placed < min_atoms)) & (slot < cap)
+        # reference termination (graphbp.py:296-313): a molecule with no
+        # eligible focus is COMPLETE (kept if big enough, discarded if
+        # under min_atoms — never force-grown); NaN/Inf rows are dropped
+        complete = active & ~ok
+        discard = (complete & (n_placed < min_atoms)) | (active & ~finite)
+        keep = keep & ~discard
+        live = active & ok & finite & (slot < cap)
         upd = jax.nn.one_hot(slot, cap, dtype=bool) & live[:, None]
         batch = batch.replace(
             z=jnp.where(upd, new_type[:, None], batch.z),
             pos=jnp.where(upd[..., None], new_pos[:, None, :], batch.pos),
-            mask=batch.mask | upd, gen_flag=batch.gen_flag | upd)
-        return (batch, live, rng), ()
+            mask=batch.mask | upd, gen_flag=batch.gen_flag | upd,
+            is_first_step=batch.is_first_step & ~live)
+        return (batch, live, keep, rng), ()
 
-    init = (batch, jnp.ones(b, bool), rng)
-    (out, _, _), _ = jax.lax.scan(body, init,
-                                  jnp.arange(max_atoms, dtype=jnp.int32))
+    init = (batch, jnp.ones(b, bool), jnp.ones(b, bool), rng)
+    (out, _, keep, _), _ = jax.lax.scan(body, init,
+                                        jnp.arange(max_atoms,
+                                                   dtype=jnp.int32))
     return {"z": out.z, "pos": out.pos, "mask": out.mask,
-            "gen_flag": out.gen_flag & out.mask}
+            "gen_flag": out.gen_flag & out.mask & keep[:, None]}
 
 
 def sample_graphbp(model: GraphBP, params, batch: GraphBPBatch, rng,
@@ -351,32 +416,36 @@ def sample_graphbp(model: GraphBP, params, batch: GraphBPBatch, rng,
 def sample_graphbp_host(model: GraphBP, params, batch: GraphBPBatch, rng,
                         max_atoms: int = 45, min_atoms: int = 12):
     """Host growth loop (one device call per step); kept as the semantic
-    reference for _jit_sample_scan's equality test."""
+    reference for _jit_sample_scan's equality test. Same rng split
+    sequence and the same reference termination rules."""
     import numpy as np
 
     b = batch.batch_size
     active = np.ones(b, bool)
+    keep = np.ones(b, bool)
     for it in range(max_atoms):
         rng, k1, k2 = jax.random.split(rng, 3)
-        if it > 0:
-            focus, c1, c2 = _jit_focus(model, params, batch, k1)
-            batch = batch.replace(focus=focus, c1=c1, c2=c2,
-                                  is_first_step=jnp.zeros(b, bool))
-        new_type, new_pos, focus_ok, _ = _jit_place(model, params, batch, k2)
+        focus, c1, c2, ok, finite = _jit_focus_sample(model, params, batch,
+                                                      k1)
+        batch = batch.replace(focus=focus, c1=c1, c2=c2)
+        new_type, new_pos, _, _ = _jit_place(model, params, batch, k2)
         new_type = np.asarray(new_type)
         new_pos = np.asarray(new_pos)
-        ok = np.asarray(focus_ok)
+        ok = np.asarray(ok)
+        finite = np.asarray(finite)
         n_placed = np.asarray(batch.gen_flag & batch.mask).sum(1)
-        active &= (ok | (n_placed < min_atoms))
-        if not active.any():
-            break
+        complete = active & ~ok
+        discard = (complete & (n_placed < min_atoms)) | (active & ~finite)
+        keep &= ~discard
         z = np.array(batch.z)
         pos = np.array(batch.pos)
         mask = np.array(batch.mask)
         gen = np.array(batch.gen_flag)
+        first = np.array(batch.is_first_step)
         cap = z.shape[1]
         for g in range(b):
-            if not active[g]:
+            if not (active[g] and ok[g] and finite[g]):
+                active[g] = False
                 continue
             slot = int(mask[g].sum())
             if slot >= cap:
@@ -386,7 +455,13 @@ def sample_graphbp_host(model: GraphBP, params, batch: GraphBPBatch, rng,
             pos[g, slot] = new_pos[g]
             mask[g, slot] = True
             gen[g, slot] = True
+            first[g] = False
         batch = batch.replace(z=jnp.asarray(z), pos=jnp.asarray(pos),
-                              mask=jnp.asarray(mask), gen_flag=jnp.asarray(gen))
+                              mask=jnp.asarray(mask), gen_flag=jnp.asarray(gen),
+                              is_first_step=jnp.asarray(first))
+        if not active.any():
+            break
+    batch = batch.replace(
+        gen_flag=batch.gen_flag & jnp.asarray(keep)[:, None])
     return {"z": batch.z, "pos": batch.pos, "mask": batch.mask,
             "gen_flag": batch.gen_flag & batch.mask}

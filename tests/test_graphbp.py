@@ -127,6 +127,55 @@ def test_sampling_grows(setup, gbp_batch):
     assert np.isfinite(np.asarray(out["pos"])).all()
 
 
+def test_termination_rule(setup, gbp_batch):
+    """Reference semantics (graphbp.py:296-313): a molecule whose focus
+    head reports no eligible atom is COMPLETE — kept if it has at least
+    min_atoms placed, DISCARDED (empty gen_flag) otherwise; it is never
+    force-grown past an unwilling focus head."""
+    model, params = setup
+    gen = np.asarray(gbp_batch.gen_flag)
+    mask = np.asarray(gbp_batch.mask) & ~gen
+    empty = gbp_batch.replace(mask=jnp.asarray(mask),
+                              gen_flag=jnp.zeros_like(gbp_batch.gen_flag),
+                              is_first_step=jnp.ones(2, bool))
+    lo = sample_graphbp(model, params, empty, jax.random.PRNGKey(4),
+                        max_atoms=6, min_atoms=1)
+    hi = sample_graphbp(model, params, empty, jax.random.PRNGKey(4),
+                        max_atoms=6, min_atoms=30)
+    placed_lo = np.asarray(lo["gen_flag"]).sum(1)
+    placed_hi = np.asarray(hi["gen_flag"]).sum(1)
+    # same rng: identical growth while alive; raising min_atoms can only
+    # discard (zero out) small completions, never grow them bigger
+    for a, b in zip(placed_hi, placed_lo):
+        assert a == b or a == 0, (a, b)
+    # untrained head: something completes under max_atoms=6 and min=30,
+    # and the discard path zeroes it rather than force-growing
+    assert (placed_hi <= np.asarray(hi["mask"]).sum(1)).all()
+
+
+def test_first_step_uses_contact_head(setup, gbp_batch):
+    """The first focus must come from the trained contact head over
+    context atoms (reference: graphbp.py:281-291), not from a
+    preassigned index."""
+    model, params = setup
+    gen = np.asarray(gbp_batch.gen_flag)
+    mask = np.asarray(gbp_batch.mask) & ~gen
+    empty = gbp_batch.replace(mask=jnp.asarray(mask),
+                              gen_flag=jnp.zeros_like(gbp_batch.gen_flag),
+                              is_first_step=jnp.ones(2, bool),
+                              # poison the preassigned focus: it must be
+                              # ignored by the first-step contact choice
+                              focus=jnp.zeros(2, jnp.int32) - 1)
+    focus, c1, c2, ok, finite = model.apply(
+        params, empty, jax.random.PRNGKey(0), method="pick_focus_sample")
+    assert bool(ok.all()) and bool(finite.all())
+    m = np.asarray(mask)
+    f = np.asarray(focus)
+    assert (f >= 0).all()
+    for g in range(2):
+        assert m[g, f[g]], "first focus must be a real context atom"
+
+
 def test_sampling_scan_matches_host(setup, gbp_batch):
     """On-device fori_loop growth == host-stepped loop (same rng splits)."""
     from cbgbench_tpu.models.graphbp import sample_graphbp_host
