@@ -239,6 +239,15 @@ class X2HAttnFused(_EdgeAttnBase):
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre(p),
                 mode="x2h", heads=self.n_heads)
             out = out.astype(h.dtype)
+        elif self.impl == "pallas_pre3":
+            from ..ops.pallas_edge_attn import edge_attention_pre3
+            ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
+                                                      jnp.float32)
+            out = edge_attention_pre3(
+                self._t_src_gathered(p, h, idx), valid, edge_attr, ew,
+                rel_x, q, self._t_dst(p, h), self._kernel_weights2(p),
+                mode="x2h", heads=self.n_heads)
+            out = out.astype(h.dtype)
         elif self.impl == "pallas2":
             from ..ops.pallas_edge_attn import edge_attention2
             ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
@@ -297,6 +306,14 @@ class H2XAttnFused(_EdgeAttnBase):
             return edge_attention_pre(
                 self._t_src_gathered(p, h, idx), edge_feat, valid, ew,
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre(p),
+                mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
+        if self.impl == "pallas_pre3":
+            from ..ops.pallas_edge_attn import edge_attention_pre3
+            ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(
+                valid.shape + (1,), jnp.float32)
+            return edge_attention_pre3(
+                self._t_src_gathered(p, h, idx), valid, edge_attr, ew,
+                rel_x, q, self._t_dst(p, h), self._kernel_weights2(p),
                 mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
         if self.impl == "pallas2":
             from ..ops.pallas_edge_attn import edge_attention2

@@ -72,9 +72,11 @@ class E3DualAttentionLayer(nn.Module):
 
         # ---- shared per-layer edge geometry ----
         h_in = h
-        if self.impl in ("pallas", "pallas2"):
-            # h gathers happen inside the fused kernel; only rel_x is
-            # precomputed host-of-kernel (exact 3-plane gather)
+        if self.impl in ("pallas", "pallas2", "pallas_pre3"):
+            # h gathers happen inside the fused kernel (pallas/pallas2) or
+            # ride the XLA projection gather (pre3); edge features are
+            # built in-kernel so only rel_x is precomputed (exact 3-plane
+            # gather)
             x_src = gather_neighbors(x, idx)
             rel_x = x[..., :, None, :] - x_src
             h_src = h_src2 = None
@@ -121,7 +123,8 @@ class E3DualAttentionLayer(nn.Module):
 
         x_out = x
         for i in range(self.num_h2x):
-            if self.impl not in ("pallas", "pallas_pre", "pallas2"):
+            if self.impl not in ("pallas", "pallas_pre", "pallas2",
+                                 "pallas_pre3"):
                 (h_src2,) = smart_gather([h_out.astype(gdt)], idx,
                                          method=self.gather_method)
                 h_src2 = h_src2.astype(h.dtype)

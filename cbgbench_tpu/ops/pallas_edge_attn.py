@@ -193,6 +193,36 @@ def _edge_attn_kernel(payload_ref, idx_ref, valid_ref, ea_ref, ew_ref,
                mode=mode, k_nb=k_nb, heads=heads)
 
 
+def _edge_attn_pre3_kernel(tsrc_ref, valid_ref, ea_ref, ew_ref, relx_ref,
+                           q_ref, tdst_ref, offs_ref, wea_ref, web_ref,
+                           ln_ref, w2k_ref, b2k_ref, w2v_ref, b2v_ref,
+                           out_ref, *, mode: str, k_nb: int, heads: int,
+                           eps: float):
+    """pre3 hybrid: neighbor projections arrive pre-gathered from XLA
+    (pipelines across layers at MXU peak) like the pre kernel, but the
+    [E, 84] edge features are built in-kernel from edge_attr [E, 4] +
+    rel_x like the v2 kernel — the edge-feature tensor (and its XLA
+    outer-product construction) never touches HBM."""
+    f32 = jnp.float32
+
+    z = tsrc_ref[0].astype(f32)                          # [E, 2D]
+    relx = relx_ref[0][:, :3].astype(f32)                # [E, 3]
+    dist = jnp.sqrt(jnp.sum(relx * relx, -1, keepdims=True) + eps)
+    diff = dist - offs_ref[0][None, :]                   # [E,1]-[1,20]
+    rbf = jnp.exp(-0.5 * diff * diff).astype(jnp.bfloat16)   # [E, 20]
+    ea = ea_ref[0].astype(jnp.bfloat16)                  # [E, 4]
+
+    z = z + jnp.dot(ea, wea_ref[:], preferred_element_type=f32)
+    for c in range(4):
+        zc = jnp.dot(rbf, web_ref[c * 20:(c + 1) * 20, :],
+                     preferred_element_type=f32)
+        z = z + ea[:, c:c + 1].astype(f32) * zc
+
+    _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
+               w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref,
+               mode=mode, k_nb=k_nb, heads=heads)
+
+
 def _edge_attn_pre_kernel(tsrc_ref, ef_ref, valid_ref, ew_ref, relx_ref,
                           q_ref, tdst_ref, we_ref, ln_ref, w2k_ref, b2k_ref,
                           w2v_ref, b2v_ref, out_ref, *,
@@ -292,6 +322,92 @@ def edge_attention_pre(t_src, edge_feat, valid, e_w, rel_x, q, t_dst,
     )(tsrc_f, ef_f, valid_f, ew_f, relx_f,
       q.astype(jnp.float32), t_dst.astype(jnp.float32),
       w["we"].astype(jnp.bfloat16), w["ln"].astype(jnp.float32),
+      w["w2k"].astype(jnp.bfloat16),
+      w["b2k"].reshape(1, -1).astype(jnp.float32),
+      w["w2v"].astype(jnp.bfloat16),
+      w["b2v"].reshape(1, -1).astype(jnp.float32))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "tile_n", "heads", "eps", "interpret"))
+def edge_attention_pre3(t_src, valid, edge_attr, e_w, rel_x, q, t_dst,
+                        weights: Dict[str, jnp.ndarray], mode: str = "x2h",
+                        tile_n: int = 64, heads: int = 16, eps: float = 1e-12,
+                        interpret: bool = False):
+    """pre3 hybrid fused edge attention: pre-gathered neighbor projections
+    + in-kernel edge features.
+
+    t_src [B,N,K,2D] bf16 (gathered h @ [W_src_k|W_src_v]);
+    valid [B,N,K]; edge_attr [B,N,K,4]; e_w [B,N,K,1]; rel_x [B,N,K,3] f32;
+    q [B,N,D]; t_dst [B,N,2D].
+    weights: wea [4,2D] web [80,2D] ln [4,D] w2k [D,D] b2k [D]
+             w2v [D,VOUT] b2v [VOUT] (same set as the v2 kernel).
+    Returns [B,N,D] f32 (x2h) or [B,N,3] f32 (h2x)."""
+    b, n = q.shape[0], q.shape[1]
+    d = q.shape[-1]
+    k_nb = valid.shape[-1]
+    r = n * k_nb
+    vout = weights["w2v"].shape[1]
+
+    interpret = interpret or not edge_attn_available()
+    while n % tile_n != 0:
+        tile_n //= 2
+        if tile_n < 1:
+            raise ValueError(f"node count {n} has no power-of-two tiling")
+    e = tile_n * k_nb
+
+    tsrc_f = t_src.reshape(b, r, 2 * d).astype(jnp.bfloat16)
+    valid_f = valid.reshape(b, r, 1).astype(jnp.bfloat16)
+    ea_f = edge_attr.reshape(b, r, 4).astype(jnp.bfloat16)
+    ew_f = e_w.reshape(b, r, 1).astype(jnp.bfloat16)
+    relx_f = rel_x.reshape(b, r, 3).astype(jnp.float32)
+
+    out_d = d if mode == "x2h" else 3
+    grid = (b, n // tile_n)
+
+    def edge_spec(c):
+        return pl.BlockSpec((1, e, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(c):
+        return pl.BlockSpec((1, tile_n, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi, ti: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    w = weights
+    out = pl.pallas_call(
+        functools.partial(_edge_attn_pre3_kernel, mode=mode, k_nb=k_nb,
+                          heads=heads, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            edge_spec(2 * d), edge_spec(1), edge_spec(4), edge_spec(1),
+            edge_spec(3),
+            tile_spec(d), tile_spec(2 * d),
+            w_spec((1, 20)),
+            w_spec((4, 2 * d)), w_spec((80, 2 * d)),
+            w_spec((4, d)), w_spec((d, d)), w_spec((1, d)),
+            w_spec((d, vout)), w_spec((1, vout)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, out_d),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * (84 * 2 * d + d * d + d * vout + 2 * d),
+            bytes_accessed=b * r * (2 * d * 2 + 4 + 3 * 4),
+            transcendentals=b * r * 21),
+        interpret=interpret,
+    )(tsrc_f, valid_f, ea_f, ew_f, relx_f,
+      q.astype(jnp.float32), t_dst.astype(jnp.float32),
+      jnp.asarray(np.asarray(FIXED_OFFSETS), jnp.float32).reshape(1, 20),
+      w["wea"].astype(jnp.bfloat16), w["web"].astype(jnp.bfloat16),
+      w["ln"].astype(jnp.float32),
       w["w2k"].astype(jnp.bfloat16),
       w["b2k"].reshape(1, -1).astype(jnp.float32),
       w["w2v"].astype(jnp.bfloat16),
