@@ -256,6 +256,10 @@ def evaluate_folder(result_root: str, num_samples: int = None,
         report["clash_atom_ratio"] = float(np.mean(
             [r["lig_pro_clash"]["clash_atom_num"]
              / max(r["lig_pro_clash"]["atom_num"], 1) for r in clash_rows]))
+        nears = [r["nearest_protein_dist"] for r in clash_rows
+                 if np.isfinite(r.get("nearest_protein_dist", np.nan))]
+        report["nearest_protein_dist_mean"] = (
+            float(np.mean(nears)) if nears else None)
     if inter_counts:
         for k, v in inter_counts.items():
             report[f"interaction_{k}_mean"] = float(np.mean(v))

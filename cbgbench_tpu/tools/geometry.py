@@ -285,5 +285,12 @@ def eval_steric_clash(mol: Molecule, protein_pos, protein_elements,
     ll, ll_info = detect_clash(mol.pos, mol.pos, mol.atomic_numbers,
                                mol.atomic_numbers, pair_mask=intra_mask,
                                tolerance=tolerance)
+    # pose-quality diagnostic: the molecule's closest approach to the
+    # protein surface (crystal ligands sit ~2.5-3.5 A; sub-vdW values
+    # flag poses grown into the pocket wall)
+    d_lp = np.linalg.norm(np.asarray(mol.pos)[:, None]
+                          - np.asarray(protein_pos)[None], axis=-1)
+    nearest = float(d_lp.min()) if d_lp.size else float("nan")
     return lp, {"lig_pro_clash_detected": lp, "lig_lig_clash_detected": ll,
-                "lig_pro_clash": lp_info, "lig_lig_clash": ll_info}
+                "lig_pro_clash": lp_info, "lig_lig_clash": ll_info,
+                "nearest_protein_dist": nearest}
