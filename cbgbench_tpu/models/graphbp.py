@@ -95,6 +95,15 @@ class GraphBP(nn.Module):
     num_flow_layers: int = 6
     flow_hid_dim: int = 128
     deq_coeff: float = 0.9
+    # Train-time Gaussian jitter on the continuous flow targets
+    # (dist Å, angle rad, torsion rad). The reference dequantizes only the
+    # discrete node one-hot (graphbp.py:120 deq_coeff); on a small corpus
+    # the continuous flows memorize the repeated internal coordinates and
+    # sharpen without bound (log-likelihood -> +inf, grad norms -> 1e3,
+    # then NaN — observed at iter ~12.5k on the 5-pocket fixture corpus).
+    # Jitter bounds the achievable sharpness at log(sigma), the exact
+    # regularization deq_coeff provides for the discrete flow.
+    cont_noise: tuple = (0.05, 0.05, 0.1)
     cutoff: float = 10.0
     k: int = 64
     loss_weights: tuple = ()
@@ -109,6 +118,7 @@ class GraphBP(nn.Module):
                    num_flow_layers=enc.get("num_layers", 6),
                    flow_hid_dim=enc.get("node_feat_dim", 128),
                    deq_coeff=cfg.get("deq_coeff", 0.9),
+                   cont_noise=tuple(cfg.get("cont_noise", (0.05, 0.05, 0.1))),
                    loss_weights=tuple(sorted(
                        cfg.get("loss_weights", {}).items())))
 
@@ -185,18 +195,28 @@ class GraphBP(nn.Module):
                                    axis=(1,)).mean()
 
         # dequantized one-hot for the node flow
+        kz, kd, ka, kt = jax.random.split(rng, 4)
         x_z = jax.nn.one_hot(batch.new_type, self.num_classes)
-        x_z = x_z + self.deq_coeff * jax.random.uniform(rng, x_z.shape)
+        x_z = x_z + self.deq_coeff * jax.random.uniform(kz, x_z.shape)
+
+        # continuous-target jitter (see cont_noise field docstring); the
+        # conditioning features see the CLEAN coordinates — only the flow
+        # inputs are jittered, matching how deq_coeff treats new_type
+        sd, sa, st = self.cont_noise
+        b = batch.new_dist.shape[0]
+        dist_in = batch.new_dist + sd * jax.random.normal(kd, (b,))
+        angle_in = batch.new_angle + sa * jax.random.normal(ka, (b,))
+        tors_in = batch.new_torsion + st * jax.random.normal(kt, (b,))
 
         feats = self._conditioning(batch, node_feat, batch.new_type,
                                    batch.new_dist, batch.new_angle)
         node_lat, node_lj = flow_forward(self.node_flow, x_z, feats[0])
         dist_lat, dist_lj = flow_forward(self.dist_flow,
-                                         batch.new_dist[:, None], feats[1])
+                                         dist_in[:, None], feats[1])
         angle_lat, angle_lj = flow_forward(self.angle_flow,
-                                           batch.new_angle[:, None], feats[2])
+                                           angle_in[:, None], feats[2])
         tors_lat, tors_lj = flow_forward(self.torsion_flow,
-                                         batch.new_torsion[:, None], feats[3])
+                                         tors_in[:, None], feats[3])
 
         losses = {
             "node": jnp.mean(0.5 * node_lat ** 2 - node_lj),

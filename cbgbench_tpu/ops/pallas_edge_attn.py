@@ -329,6 +329,97 @@ def edge_attention_pre(t_src, edge_feat, valid, e_w, rel_x, q, t_dst,
     return out
 
 
+def _edge_attention_pre3_ref(t_src, valid, edge_attr, e_w, rel_x, q, t_dst,
+                             weights, *, mode: str, heads: int, eps: float):
+    """Pure-JAX reference of the pre3 kernel math (same precision policy:
+    bf16 matmuls, f32 accumulation). Differentiable — it supplies the
+    backward pass of edge_attention_pre3 via the recompute custom_vjp, and
+    pins the kernel in tests."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    d = q.shape[-1]
+    dh = d // heads
+    w = weights
+
+    z = t_src.astype(bf16).astype(f32)                    # [B,N,K,2D]
+    relx = rel_x.astype(f32)
+    dist = jnp.sqrt(jnp.sum(relx * relx, -1, keepdims=True) + eps)
+    offs = jnp.asarray(np.asarray(FIXED_OFFSETS), f32)
+    diff = dist - offs                                    # [B,N,K,20]
+    rbf = jnp.exp(-0.5 * diff * diff).astype(bf16)
+    ea = edge_attr.astype(bf16)
+    z = z + jnp.einsum("...e,ed->...d", ea, w["wea"].astype(bf16),
+                       preferred_element_type=f32)
+    web = w["web"].astype(bf16)
+    for c in range(4):
+        zc = jnp.einsum("...r,rd->...d", rbf, web[c * 20:(c + 1) * 20],
+                        preferred_element_type=f32)
+        z = z + ea[..., c:c + 1].astype(f32) * zc
+    z = z + t_dst.astype(f32)[:, :, None, :]
+
+    def layer_norm(x, scale, bias):
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, -1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+
+    ln = w["ln"].astype(f32)
+    k = jnp.maximum(layer_norm(z[..., :d], ln[0], ln[1]), 0.0)
+    v = jnp.maximum(layer_norm(z[..., d:], ln[2], ln[3]), 0.0)
+    k = jnp.einsum("...d,dv->...v", k.astype(bf16), w["w2k"].astype(bf16),
+                   preferred_element_type=f32) + w["b2k"].astype(f32)
+    v = jnp.einsum("...d,dv->...v", v.astype(bf16), w["w2v"].astype(bf16),
+                   preferred_element_type=f32) + w["b2v"].astype(f32)
+    v = v * e_w.astype(bf16).astype(f32)
+
+    qh = q.astype(f32).reshape(q.shape[:-1] + (heads, dh))
+    kh = k.reshape(k.shape[:-1] + (heads, dh))
+    logits = jnp.einsum("bnhe,bnkhe->bnkh",
+                        qh.astype(bf16), kh.astype(bf16),
+                        preferred_element_type=f32) / np.sqrt(dh)
+    val = valid.astype(f32)[..., None]                    # [B,N,K,1]
+    logits = logits + (val - 1.0) * (-NEG)
+    m = jnp.max(logits, axis=-2, keepdims=True)
+    p = jnp.exp(logits - m) * val
+    s = jnp.sum(p, axis=-2, keepdims=True)
+    alpha = p / jnp.maximum(s, 1e-9)                      # [B,N,K,H]
+
+    if mode == "x2h":
+        vh = v.reshape(v.shape[:-1] + (heads, dh))
+        out = jnp.sum(alpha[..., None] * vh, axis=-3)     # [B,N,H,dh]
+        return out.reshape(out.shape[:-2] + (d,))
+    coeff = jnp.mean(alpha * v, axis=-1, keepdims=True)   # [B,N,K,1]
+    return jnp.sum(coeff * relx, axis=-2)                 # [B,N,3]
+
+
+@functools.lru_cache(maxsize=None)
+def _pre3_vjp(mode: str, tile_n: int, heads: int, eps: float,
+              interpret: bool):
+    """custom_vjp around the pre3 kernel: the fused kernel is the forward
+    (no [E,*] residuals ever written to HBM); the backward recomputes via
+    the pure-JAX reference's VJP — the jax.checkpoint/remat pattern with a
+    faster forward, making impl='pallas_pre3' usable for training."""
+    kernel = functools.partial(_edge_attention_pre3_call, mode=mode,
+                               tile_n=tile_n, heads=heads, eps=eps,
+                               interpret=interpret)
+    ref = functools.partial(_edge_attention_pre3_ref, mode=mode,
+                            heads=heads, eps=eps)
+
+    @jax.custom_vjp
+    def f(t_src, valid, edge_attr, e_w, rel_x, q, t_dst, weights):
+        return kernel(t_src, valid, edge_attr, e_w, rel_x, q, t_dst,
+                      weights)
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "tile_n", "heads", "eps", "interpret"))
@@ -337,7 +428,8 @@ def edge_attention_pre3(t_src, valid, edge_attr, e_w, rel_x, q, t_dst,
                         tile_n: int = 64, heads: int = 16, eps: float = 1e-12,
                         interpret: bool = False):
     """pre3 hybrid fused edge attention: pre-gathered neighbor projections
-    + in-kernel edge features.
+    + in-kernel edge features. DIFFERENTIABLE: the backward pass is the
+    recompute custom_vjp over _edge_attention_pre3_ref (see _pre3_vjp).
 
     t_src [B,N,K,2D] bf16 (gathered h @ [W_src_k|W_src_v]);
     valid [B,N,K]; edge_attr [B,N,K,4]; e_w [B,N,K,1]; rel_x [B,N,K,3] f32;
@@ -345,6 +437,16 @@ def edge_attention_pre3(t_src, valid, edge_attr, e_w, rel_x, q, t_dst,
     weights: wea [4,2D] web [80,2D] ln [4,D] w2k [D,D] b2k [D]
              w2v [D,VOUT] b2v [VOUT] (same set as the v2 kernel).
     Returns [B,N,D] f32 (x2h) or [B,N,3] f32 (h2x)."""
+    return _pre3_vjp(mode, tile_n, heads, eps, interpret)(
+        t_src, valid, edge_attr, e_w, rel_x, q, t_dst, weights)
+
+
+def _edge_attention_pre3_call(t_src, valid, edge_attr, e_w, rel_x, q, t_dst,
+                              weights: Dict[str, jnp.ndarray],
+                              mode: str = "x2h", tile_n: int = 64,
+                              heads: int = 16, eps: float = 1e-12,
+                              interpret: bool = False):
+    """The raw pallas_call forward (wrapped by _pre3_vjp)."""
     b, n = q.shape[0], q.shape[1]
     d = q.shape[-1]
     k_nb = valid.shape[-1]

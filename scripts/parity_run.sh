@@ -59,18 +59,18 @@ fi
 # plain-text raw_path swap only in the common file, so write full overlays)
 OVERLAY="$OUT/train_config.yml"
 python - "$CONFIG" "$STAGE_DATA" "$OVERLAY" <<'EOF'
-import sys, yaml
+import json, sys, yaml
 from cbgbench_tpu.utils.config import load_config
-cfg = load_config(sys.argv[1])
+cfg = json.loads(json.dumps(load_config(sys.argv[1])))  # plain dicts
 cfg["data"]["train"]["raw_path"] = sys.argv[2]
 with open(sys.argv[3], "w") as f:
     yaml.safe_dump(cfg, f, sort_keys=False)
 EOF
 OVERLAY_TEST="$OUT/test_config.yml"
 python - "$TEST_CONFIG" "$STAGE_DATA" "$OVERLAY_TEST" <<'EOF'
-import sys, yaml
+import json, sys, yaml
 from cbgbench_tpu.utils.config import load_config
-cfg = load_config(sys.argv[1])
+cfg = json.loads(json.dumps(load_config(sys.argv[1])))  # plain dicts
 for split in cfg.get("data", {}):
     cfg["data"][split]["raw_path"] = sys.argv[2]
 with open(sys.argv[3], "w") as f:

@@ -145,6 +145,28 @@ def test_edge_attn_pallas_pre3_matches_xla(uni_setup):
     assert float(jnp.abs(hp).max()) > 0.1
 
 
+def test_edge_attn_pallas_pre3_grads_match_xla(uni_setup):
+    """pre3 is differentiable (recompute custom_vjp over the pure-JAX
+    reference): parameter gradients through the full UniTransformer must
+    match the XLA path (VERDICT r2 #6 grad-equivalence to 1e-3)."""
+    UniTransformer, kw, params, args = uni_setup
+
+    def loss(p, impl):
+        x, h, c = UniTransformer(impl=impl, **kw).apply(p, *args)
+        return (jnp.sum(x ** 2) + jnp.sum(h ** 2)
+                + sum(jnp.sum(v ** 2) for v in jax.tree.leaves(c)))
+
+    from jax.flatten_util import ravel_pytree
+    g_xla = jax.grad(lambda p: loss(p, "xla"))(params)
+    g_p3 = jax.grad(lambda p: loss(p, "pallas_pre3"))(params)
+    flat_x, _ = ravel_pytree(g_xla)
+    flat_p, _ = ravel_pytree(g_p3)
+    denom = float(jnp.abs(flat_x).max())
+    assert denom > 0
+    rel = float(jnp.abs(flat_x - flat_p).max()) / denom
+    assert rel < 1e-3, rel
+
+
 def test_edge_attn_pallas_pre3_param_structure(uni_setup):
     UniTransformer, kw, params, args = uni_setup
     p2 = UniTransformer(impl="pallas_pre3", **kw).init(
