@@ -36,12 +36,11 @@ def _parse_block(block: str) -> Molecule:
         j = int(ln[3:6]) - 1
         order = int(ln[6:9])
         mol.add_bond(i, j, order)
-    # aromatic flags from bond class 4
-    arom = np.zeros(n_atoms, bool)
-    for (i, j), cls in mol.bonds.items():
-        if cls == 4:
-            arom[i] = arom[j] = True
-    mol.aromatic = arom
+    # aromatic flags: class-4 bonds AND Hückel perception of kekulized
+    # rings (CrossDocked SDFs are kekulized; the reference's SanitizeMol
+    # re-perceives aromaticity — see chem/aromatic.py)
+    from .aromatic import perceive_aromatic
+    mol.aromatic = perceive_aromatic(mol)
     return mol
 
 

@@ -24,13 +24,17 @@ _POCKET_C_INDEX = POCKET_ATOMIC_NUMBERS.index(6)
 
 def infer_hybridization(mol: Molecule):
     """Approximate per-atom hybridization from the bond graph (used when
-    RDKit is unavailable; 'full' mode only)."""
+    RDKit is unavailable; 'full' mode only). Aromatic atoms are SP2 —
+    RDKit reports SP2 for lone-pair donors in aromatic rings (furan O,
+    pyrrole N) that pure bond-order counting would call SP3."""
+    arom = (mol.aromatic if mol.aromatic is not None
+            else np.zeros(mol.num_atoms, bool))
     hyb = []
     for i in range(mol.num_atoms):
         orders = [cls for (a, b), cls in mol.bonds.items() if i in (a, b)]
         if 3 in orders or orders.count(2) >= 2:
             hyb.append("SP")
-        elif 2 in orders or 4 in orders:
+        elif 2 in orders or 4 in orders or bool(arom[i]):
             hyb.append("SP2")
         else:
             hyb.append("SP3")
