@@ -38,6 +38,59 @@ def build_dataset(data_cfg, mode: str):
                           pocket_radius=data_cfg.get("pocket_radius", 0.0))
 
 
+def _dump_nan_forensics(logdir, model, state, batch, rng, it, log):
+    """First-non-finite-step forensics (SURVEY §5 failure detection):
+    recompute the gradient on the current batch and write per-leaf
+    finiteness/norms + the batch arrays + the (reverted, still-finite)
+    params, so the failure is reproducible offline without rerunning
+    training under jax_debug_nans."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import sample_time
+    from ..train.trainer import make_grad_forensics
+
+    out_dir = os.path.join(logdir, "nan_forensics")
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        b = batch.batch_size
+        # the step counter was advanced by the failing step; its t draw
+        # used the pre-step counter (trainer.py step_fn fold_in)
+        step_used = int(state.step) - 1
+        k_t, k_noise = jax.random.split(
+            jax.random.fold_in(rng, jnp.asarray(step_used, jnp.int32)))
+        t = sample_time(k_t, b, model.num_timesteps, model.time_sampler)
+        rep = make_grad_forensics(model)(state.params, batch, t, k_noise)
+        flat_fin = jax.tree_util.tree_leaves_with_path(rep["finite"])
+        flat_nrm = jax.tree_util.tree_leaves(rep["norms"])
+        rows = sorted(
+            ((jax.tree_util.keystr(kp), bool(f), float(n))
+             for (kp, f), n in zip(flat_fin, flat_nrm)),
+            key=lambda r: (r[1], -r[2]))
+        report = {
+            "iter": it, "step_used": step_used,
+            "total": float(rep["total"]),
+            "loss_dict": {k: float(v) for k, v in rep["loss_dict"].items()},
+            "nonfinite_leaves": [r[0] for r in rows if not r[1]],
+            "top_norms": rows[:40],
+        }
+        with open(os.path.join(out_dir, "report.json"), "w") as f:
+            json.dump(report, f, indent=1)
+        leaves = {f"arr_{i}": np.asarray(v) for i, v in
+                  enumerate(jax.tree_util.tree_leaves(batch))}
+        np.savez(os.path.join(out_dir, "batch.npz"), **leaves)
+        from ..train.checkpoint import save_checkpoint
+        save_checkpoint(out_dir, it, state, {}, {}, None)
+        log.warning(
+            "non-finite step at iter %d: %d/%d grad leaves non-finite; "
+            "forensics in %s (worst: %s)", it,
+            len(report["nonfinite_leaves"]), len(rows), out_dir,
+            report["nonfinite_leaves"][:6])
+    except Exception:                                    # noqa: BLE001
+        log.exception("nan forensics dump failed")
+
+
 def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
                       rec_cap: int, seed: int = 0):
     """Infinite batch iterator routed by model family: diffusion models use
@@ -166,6 +219,16 @@ def main(argv=None):
                         "slices before touching devices (DCN orchestration;"
                         " each host feeds its local batch shard)")
     p.add_argument("--no_tensorboard", action="store_true")
+    p.add_argument("--impl", default=None,
+                   choices=[None, "xla", "pallas", "pallas_pre",
+                            "pallas_pre3", "pallas2"],
+                   help="denoiser implementation override for training "
+                        "(UniTransformer models); pallas_pre3 trains "
+                        "through the fused kernel's recompute custom_vjp")
+    p.add_argument("--no_nan_forensics", action="store_true",
+                   help="disable the on-first-NaN grad forensics dump "
+                        "(logdir/nan_forensics: per-leaf grad finiteness/"
+                        "norms + the reproducing batch + state)")
     args = p.parse_args(argv)
 
     if args.device == "cpu":
@@ -210,6 +273,11 @@ def main(argv=None):
         json.dump(cfg.to_dict(), f, indent=1, default=str)
 
     model = get_model(cfg["model"])
+    if args.impl and hasattr(model, "impl") and model.impl != args.impl:
+        # pallas_pre3 is train-capable (recompute custom_vjp, identical
+        # param tree — tests/test_pallas.py pins grad equivalence to 1e-3)
+        model = model.clone(impl=args.impl)
+        log.info("denoiser impl overridden to %s", args.impl)
     mode = cfg["model"].get("mode", "add_aromatic")
     ds = build_dataset(cfg["data"]["train"], mode)
     from ..data.prefetch import prefetch
@@ -310,12 +378,14 @@ def main(argv=None):
     best_val = float("inf")
     val_loss = None
     profile_at = (start_it + 3) if args.profile else -1
+    nan_dumped = False
     for it in range(start_it + 1, max_iters + 1):
         if it == profile_at:
             # capture a handful of post-compile steps (view in xprof /
             # tensorboard; aux subsystem, SURVEY §5 tracing)
             jax.profiler.start_trace(args.profile)
-        state, metrics = step_fn(state, _shard(next(loader)), rng)
+        batch = _shard(next(loader))
+        state, metrics = step_fn(state, batch, rng)
         if it == profile_at + 4 and profile_at > 0:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
@@ -331,6 +401,11 @@ def main(argv=None):
             scalars.write_dict(it, m, prefix="train/")
             scalars.write(it, "train/it_per_s", rate)
             scalars.write(it, "train/lr", plateau.lr)
+            if (m.get("update_skipped", 0.0) > 0 and not nan_dumped
+                    and not args.no_nan_forensics):
+                nan_dumped = True
+                _dump_nan_forensics(logdir, model, state, batch, rng, it,
+                                    log)
         if it % val_freq == 0:
             val_batch = _shard(next(val_loader))
             vm = eval_fn(state.params, val_batch, rng)

@@ -175,24 +175,28 @@ class GraphBP(nn.Module):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         node_feat = self.embedder(batch.z, batch.pos, batch.mask)
 
-        focus_score = nn.sigmoid(self.focus_mlp(node_feat)[..., 0])
+        # BCE in logit space (bce_logits): the naive
+        # -(c*log(sigmoid+1e-12) + (1-c)*log(1-sigmoid+1e-12)) is NOT
+        # TPU-safe — at logit >= 16.7 f32 sigmoid saturates to exactly 1.0
+        # and XLA reassociates (1 - fs + 1e-12) into ((1+1e-12) - fs) = 0,
+        # so log() emits -inf and masked_mean's inf*0 poisons the whole
+        # gradient (the r3 iter-9.9k permanent-NaN incident; forensics in
+        # logs/q3_graphbp3/run/nan_forensics)
+        focus_logit = self.focus_mlp(node_feat)[..., 0]
+        focus_score = nn.sigmoid(focus_logit)
         gen_m = batch.gen_flag & batch.mask
         loss_focus = masked_mean(
-            (-(batch.cannot_focus * jnp.log(focus_score + 1e-12)
-               + (1 - batch.cannot_focus) * jnp.log(1 - focus_score + 1e-12))
-             )[..., None], gen_m, axis=(1,)).mean()
+            bce_logits(focus_logit, batch.cannot_focus)[..., None],
+            gen_m, axis=(1,)).mean()
 
         # dense contact supervision over ALL context atoms on every row
         # (deviation from the reference's 2-atom/first-step-only BCE —
         # see graphbp_seq.py for the rationale; the head is the same)
         ctx_m = batch.mask & ~batch.gen_flag
-        contact_score = nn.sigmoid(self.contact_mlp(node_feat)[..., 0])
-        contact_bce = -(batch.cannot_contact
-                        * jnp.log(contact_score + 1e-12)
-                        + (1 - batch.cannot_contact)
-                        * jnp.log(1 - contact_score + 1e-12))
-        loss_contact = masked_mean(contact_bce[..., None], ctx_m,
-                                   axis=(1,)).mean()
+        contact_logit = self.contact_mlp(node_feat)[..., 0]
+        loss_contact = masked_mean(
+            bce_logits(contact_logit, batch.cannot_contact)[..., None],
+            ctx_m, axis=(1,)).mean()
 
         # dequantized one-hot for the node flow
         kz, kd, ka, kt = jax.random.split(rng, 4)

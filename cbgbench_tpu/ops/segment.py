@@ -18,9 +18,12 @@ def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis: int = 1,
     m = mask
     while m.ndim < x.ndim:
         m = m[..., None]
-    m = m.astype(x.dtype)
-    num = jnp.sum(x * m, axis=axis, keepdims=keepdims)
-    den = jnp.sum(m, axis=axis, keepdims=keepdims)
+    mf = m.astype(x.dtype)
+    # where, not x*m: a non-finite x at a masked-out slot must not poison
+    # the sum (inf*0 = NaN — the GraphBP focus-loss incident, r3)
+    num = jnp.sum(jnp.where(m.astype(bool), x, 0), axis=axis,
+                  keepdims=keepdims)
+    den = jnp.sum(mf, axis=axis, keepdims=keepdims)
     return num / jnp.maximum(den, eps)
 
 

@@ -68,6 +68,31 @@ def make_train_step(model, tx, donate: bool = True) -> Callable:
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_grad_forensics(model) -> Callable:
+    """Failure-forensics probe (SURVEY §5 failure detection): recomputes
+    the gradient for one (params, batch, t, rng) and reports per-leaf
+    finiteness and norms, so a non-finite training step can be localized
+    to a module without rerunning under jax_debug_nans. Compiled lazily —
+    only the first triggering step pays the compile."""
+
+    def fn(params, batch, t, rng):
+        def loss_fn(p):
+            loss_dict, _ = model.apply(p, batch, t, rng)
+            return model.weighted_loss(loss_dict), loss_dict
+
+        (total, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        finite = jax.tree_util.tree_map(
+            lambda g: jnp.all(jnp.isfinite(g)), grads)
+        norms = jax.tree_util.tree_map(
+            lambda g: jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32)))),
+            grads)
+        return {"total": total, "loss_dict": ld,
+                "finite": finite, "norms": norms}
+
+    return jax.jit(fn)
+
+
 def make_eval_step(model, eval_interval: int = 10) -> Callable:
     """Validation loss at fixed timesteps (reference: train.py:207-249)."""
 

@@ -87,26 +87,89 @@ def main():
     if args.components:
         from cbgbench_tpu.ops.knn import (gather_neighbors, knn_neighbors,
                                           pairwise_sqdist)
+        from cbgbench_tpu.ops.pallas_edge_attn import (edge_attention_pre,
+                                                       edge_attention_pre3)
+        from cbgbench_tpu.ops.rbf import GaussianSmearingTable
+        from cbgbench_tpu.nn.common import outer_product
 
         pos = jax.random.normal(rng, (b, n, 3)) * 5
         mask = jnp.ones((b, n), bool)
+        h1d = jax.random.normal(rng, (b, n, d)).astype(jnp.bfloat16)
         h2d = jax.random.normal(rng, (b, n, 2 * d)).astype(jnp.bfloat16)
+        ws = jax.random.normal(rng, (d, 2 * d)).astype(jnp.bfloat16)
         idx, valid = jax.jit(
             lambda p, m: knn_neighbors(p, m, k))(pos, mask)
+
+        # kernel-direct inputs at the pallas_pre/pre3 contract
+        keys = jax.random.split(rng, 12)
+        tsrc = jax.random.normal(keys[0], (b, n, k, 2 * d)).astype(
+            jnp.bfloat16)
+        ef84 = jax.random.normal(keys[1], (b, n, k, 84)).astype(jnp.bfloat16)
+        ea4 = jax.nn.one_hot(
+            jax.random.randint(keys[2], (b, n, k), 0, 4), 4)
+        eww = jax.nn.sigmoid(jax.random.normal(keys[3], (b, n, k, 1)))
+        relx = jax.random.normal(keys[4], (b, n, k, 3))
+        qq = jax.random.normal(keys[5], (b, n, d))
+        tdst = jax.random.normal(keys[6], (b, n, 2 * d))
+        wpre = {"we": jax.random.normal(keys[7], (84, 2 * d)) * 0.05,
+                "ln": jnp.ones((4, d)),
+                "w2k": jax.random.normal(keys[8], (d, d)) * 0.05,
+                "b2k": jnp.zeros(d),
+                "w2v": jax.random.normal(keys[9], (d, d)) * 0.05,
+                "b2v": jnp.zeros(d)}
+        w3 = {"wea": jax.random.normal(keys[10], (4, 2 * d)) * 0.05,
+              "web": jax.random.normal(keys[11], (80, 2 * d)) * 0.05,
+              "ln": jnp.ones((4, d)), "w2k": wpre["w2k"],
+              "b2k": wpre["b2k"], "w2v": wpre["w2v"], "b2v": wpre["b2v"]}
+        w3h = dict(w3, w2v=jax.random.normal(keys[9], (d, 16)) * 0.05,
+                   b2v=jnp.zeros(16))
+        wpreh = dict(wpre, w2v=w3h["w2v"], b2v=w3h["b2v"])
+        rbf_t = GaussianSmearingTable(0.0, 10.0, 20)
+
+        def edge_feat_build(i):
+            rel = pos[..., :, None, :] - gather_neighbors(pos + 1e-6 * i,
+                                                          idx)
+            dist = jnp.sqrt(jnp.sum(rel * rel, -1, keepdims=True) + 1e-12)
+            rbf = rbf_t(dist)
+            return jnp.concatenate([ea4, outer_product(ea4, rbf)],
+                                   -1).astype(jnp.bfloat16)
+
+        def vary(x, i):
+            return x + jnp.asarray(i, x.dtype) * jnp.asarray(0, x.dtype)
 
         comps = {
             "knn_neighbors": lambda i: knn_neighbors(
                 pos + 1e-6 * i, mask, k)[0],
             "pairwise_sqdist": lambda i: pairwise_sqdist(pos + 1e-6 * i),
-            "topk_only": lambda i: jax.lax.top_k(
-                -(pairwise_sqdist(pos) + i * 0.0), k)[1],
             "gather[N,2D]bf16": lambda i: gather_neighbors(
-                h2d + jnp.bfloat16(i * 0), idx),
+                vary(h2d, i), idx),
+            "gather[N,D]bf16": lambda i: gather_neighbors(
+                vary(h1d, i), idx),
             "gather[N,3]f32": lambda i: gather_neighbors(
                 pos + 1e-6 * i, idx),
+            "proj+gather(pre)": lambda i: gather_neighbors(
+                vary(h1d, i) @ ws, idx),
+            "edge_feat_84": edge_feat_build,
+            "kern_pre_x2h": lambda i: edge_attention_pre(
+                vary(tsrc, i), ef84, valid, eww, relx, qq, tdst, wpre,
+                mode="x2h"),
+            "kern_pre_h2x": lambda i: edge_attention_pre(
+                vary(tsrc, i), ef84, valid, eww, relx, qq, tdst, wpreh,
+                mode="h2x"),
+            "kern_pre3_x2h": lambda i: edge_attention_pre3(
+                vary(tsrc, i), valid, ea4, eww, relx, qq, tdst, w3,
+                mode="x2h"),
+            "kern_pre3_t128": lambda i: edge_attention_pre3(
+                vary(tsrc, i), valid, ea4, eww, relx, qq, tdst, w3,
+                mode="x2h", tile_n=128),
         }
         for name, fn in comps.items():
-            ms = timed_loop(fn, args.reps)
+            try:
+                ms = timed_loop(fn, args.reps)
+            except Exception as e:                       # noqa: BLE001
+                print(f"component    {name:16s}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}")
+                continue
             print(f"component    {name:16s}: {ms:8.2f} ms")
 
 

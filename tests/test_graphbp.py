@@ -197,3 +197,29 @@ def test_sampling_scan_matches_host(setup, gbp_batch):
                                   np.asarray(host["z"]))
     np.testing.assert_allclose(np.asarray(dev["pos"]),
                                np.asarray(host["pos"]), atol=1e-5)
+
+
+def test_saturated_focus_head_keeps_grads_finite(setup, gbp_batch):
+    """Regression for the r3 iter-9.9k permanent NaN: with a focus/contact
+    head confident enough that f32 sigmoid saturates to exactly 1.0, the
+    logit-space BCE must still produce finite loss AND gradients (the old
+    -(c*log(s+1e-12)+(1-c)*log(1-s+1e-12)) form emits -inf on TPU where
+    XLA reassociates 1-s+1e-12)."""
+    model, params = setup
+    # blow up the focus head so its logits saturate the sigmoid
+    p = jax.tree_util.tree_map(lambda a: a, params)
+    import flax
+    flat = flax.traverse_util.flatten_dict(p)
+    for k in list(flat):
+        if "focus_mlp" in k and k[-1] == "kernel":
+            flat[k] = flat[k] * 300.0
+    p = flax.traverse_util.unflatten_dict(flat)
+
+    def loss(pp):
+        ld, _ = model.apply(pp, gbp_batch, rng=jax.random.PRNGKey(3))
+        return ld["focus"] + ld["contact"]
+
+    v, g = jax.value_and_grad(loss)(p)
+    assert np.isfinite(float(v))
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)

@@ -149,3 +149,15 @@ def test_unitransformer_cutoff_modes():
         assert np.isfinite(np.asarray(ho)).all(), mode
         outs[mode] = np.asarray(ho)
     assert not np.allclose(outs["knn"], outs["hybrid"])
+
+
+def test_masked_mean_ignores_nonfinite_at_masked_slots():
+    """inf/NaN at a masked-out slot must not poison the sum (the r3
+    GraphBP focus-loss incident: log(1-sigmoid) = -inf at a padded slot
+    turned the whole gradient NaN via inf*0)."""
+    x = jnp.array([[1.0, 3.0, np.inf], [2.0, np.nan, 4.0]])
+    mask = jnp.array([[True, True, False], [True, False, True]])
+    out = np.asarray(masked_mean(x[..., None], mask, axis=1))
+    np.testing.assert_allclose(out[:, 0], [2.0, 3.0])
+    g = jax.grad(lambda a: masked_mean(a[..., None], mask, axis=1).sum())(x)
+    assert np.isfinite(np.asarray(g)[np.asarray(mask)]).all()
