@@ -109,28 +109,14 @@ def assign_bond_orders(mol: Molecule, dist: Optional[np.ndarray] = None):
 
 
 def perceive_aromaticity(mol: Molecule) -> np.ndarray:
-    """Mark atoms of aromatic rings. A 5/6-ring is aromatic when its bonds
-    are all class-4, or it is a kekulized alternation (C/N/O/S members with
-    >=2 double bonds in-ring — the benzene/pyridine/azole patterns the FG
-    vocabulary needs). Returns and also sets mol.aromatic."""
-    arom = (np.asarray(mol.aromatic).copy() if mol.aromatic is not None
-            else np.zeros(mol.num_atoms, bool))
-    for ring in mol.rings(max_size=6):
-        if len(ring) not in (5, 6):
-            continue
-        if not all(int(mol.atomic_numbers[a]) in (6, 7, 8, 16) for a in ring):
-            continue
-        rs = set(ring)
-        ring_bonds = [cls for (i, j), cls in mol.bonds.items()
-                      if i in rs and j in rs]
-        if not ring_bonds:
-            continue
-        all_aromatic = all(c == 4 for c in ring_bonds)
-        n_double = sum(1 for c in ring_bonds if c == 2)
-        kekulized = (len(ring) == 6 and n_double >= 3) or \
-            (len(ring) == 5 and n_double >= 2)
-        if all_aromatic or kekulized:
-            for a in ring:
-                arom[a] = True
-    mol.aromatic = arom
-    return arom
+    """Mark atoms of aromatic rings; sets and returns mol.aromatic.
+
+    Delegates to chem.aromatic.perceive_aromatic (Hückel 4n+2 on 5-/6-
+    rings, kekulized-input aware — handles fused systems, lone-pair
+    donors and quinones that the old >=N-double-bond heuristic missed),
+    unioned with any pre-existing flags (e.g. mol2 'ar' bonds)."""
+    from .aromatic import perceive_aromatic
+    prior = (np.asarray(mol.aromatic).copy() if mol.aromatic is not None
+             else np.zeros(mol.num_atoms, bool))
+    mol.aromatic = perceive_aromatic(mol) | prior
+    return mol.aromatic

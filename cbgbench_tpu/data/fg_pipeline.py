@@ -110,7 +110,10 @@ def save_ctx_pool(path: str, out: dict, batch: FGBatch):
         import jax
         Rs = np.asarray(so3vec_to_rotation(jnp.asarray(orients[i][m])))
         z, pos = atoms_from_fg(centers[i][m], Rs, wids[i][m])
-        pool.append({"element": z, "pos": pos + trans[i]})
+        # fg_types: generated motif class ids per FG node (stage-1 quality
+        # eval compares their histogram vs fg_detect on reference ligands)
+        pool.append({"element": z, "pos": pos + trans[i],
+                     "fg_types": wids[i][m].astype(np.int32)})
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump(pool, f)
