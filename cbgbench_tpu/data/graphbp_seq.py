@@ -127,9 +127,21 @@ def build_graphbp_sample(sample: dict, rng: np.random.Generator,
     # cannot_contact = min-distance to the crystal ligand > 4 A (the same
     # 4 A convention as FLAG's rec_contact, flag_data.py:134).
     d_gc = np.linalg.norm(pos_gen[:, None] - rec_pos[None], axis=-1)
-    gen_contact = int(np.unravel_index(np.argmin(d_gc), d_gc.shape)[0])
-    ctx_contact = int(np.unravel_index(np.argmin(d_gc), d_gc.shape)[1])
     cannot_contact_ctx = (d_gc.min(0) > 4.0).astype(np.float32)
+    # first-step focus: a RANDOM contact-eligible receptor atom, exactly
+    # the pool pick_focus_sample draws from at inference (the reference
+    # trains on the single nearest atom but samples multinomial over
+    # can_contact, graphbp.py:281-291 — an off-distribution conditioning
+    # gap a large corpus hides; measured here: flows conditioned on
+    # non-nearest contact atoms emitted d~1.5 A first placements that
+    # froze growth). The first gen atom is the one nearest the chosen
+    # focus, so d stays in the learnable 3-4 A contact band.
+    eligible = np.where(cannot_contact_ctx == 0)[0]
+    if len(eligible):
+        ctx_contact = int(rng.choice(eligible))
+    else:
+        ctx_contact = int(np.unravel_index(np.argmin(d_gc), d_gc.shape)[1])
+    gen_contact = int(np.argmin(d_gc[:, ctx_contact]))
 
     # reorder: contact gen atom first, then Prim over gen-gen distances
     perm0 = np.arange(n)

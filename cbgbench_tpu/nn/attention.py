@@ -193,6 +193,18 @@ class _EdgeAttnBase(nn.Module):
         from ..ops.knn import gather_neighbors
         return gather_neighbors(self._t_src_node(p, h), idx)
 
+    def _kernel_weights_pre4(self, p):
+        """Weights for the raw-h-gather kernel (src projection in-kernel)."""
+        w = self._kernel_weights_pre(p)
+        w["ws"] = jnp.concatenate([p["k_in_src"], p["v_in_src"]], 1)
+        return w
+
+    def _h_gathered(self, p, h, idx):
+        """Raw neighbor h rows [B,N,K,D] bf16 — half the HBM footprint of
+        the projected _t_src_gathered; pre4 projects in-kernel."""
+        from ..ops.knn import gather_neighbors
+        return gather_neighbors(h.astype(jnp.bfloat16), idx)
+
     def _t_src_node(self, p, h):
         """Node-level src projections [B,N,2D] bf16 (gathered in-kernel
         by the v2 fully fused path)."""
@@ -246,6 +258,15 @@ class X2HAttnFused(_EdgeAttnBase):
             out = edge_attention_pre3(
                 self._t_src_gathered(p, h, idx), valid, edge_attr, ew,
                 rel_x, q, self._t_dst(p, h), self._kernel_weights2(p),
+                mode="x2h", heads=self.n_heads)
+            out = out.astype(h.dtype)
+        elif self.impl == "pallas_pre4":
+            from ..ops.pallas_edge_attn import edge_attention_pre4
+            ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
+                                                      jnp.float32)
+            out = edge_attention_pre4(
+                self._h_gathered(p, h, idx), edge_feat, valid, ew,
+                rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
                 mode="x2h", heads=self.n_heads)
             out = out.astype(h.dtype)
         elif self.impl == "pallas2":
@@ -314,6 +335,14 @@ class H2XAttnFused(_EdgeAttnBase):
             return edge_attention_pre3(
                 self._t_src_gathered(p, h, idx), valid, edge_attr, ew,
                 rel_x, q, self._t_dst(p, h), self._kernel_weights2(p),
+                mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
+        if self.impl == "pallas_pre4":
+            from ..ops.pallas_edge_attn import edge_attention_pre4
+            ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(
+                valid.shape + (1,), jnp.float32)
+            return edge_attention_pre4(
+                self._h_gathered(p, h, idx), edge_feat, valid, ew,
+                rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
                 mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
         if self.impl == "pallas2":
             from ..ops.pallas_edge_attn import edge_attention2

@@ -223,6 +223,25 @@ def _edge_attn_pre3_kernel(tsrc_ref, valid_ref, ea_ref, ew_ref, relx_ref,
                mode=mode, k_nb=k_nb, heads=heads)
 
 
+def _edge_attn_pre4_kernel(hnb_ref, ef_ref, valid_ref, ew_ref, relx_ref,
+                           q_ref, tdst_ref, ws_ref, we_ref, ln_ref,
+                           w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref, *,
+                           mode: str, k_nb: int, heads: int):
+    """pre4: neighbors arrive as RAW h rows ([E, D] bf16 — HALF the HBM
+    traffic of the pre kernel's pre-projected [E, 2D]); the src projection
+    happens here as one well-shaped [E, D] @ [D, 2D] MXU matmul. Edge
+    features stay XLA-side (shared across both directions per layer)."""
+    f32 = jnp.float32
+
+    z = jnp.dot(hnb_ref[0], ws_ref[:], preferred_element_type=f32)
+    z = z + jnp.dot(ef_ref[0].astype(jnp.bfloat16), we_ref[:],
+                    preferred_element_type=f32)
+
+    _attn_tail(z, valid_ref, ew_ref, relx_ref[0][:, :3].astype(f32),
+               q_ref, tdst_ref, ln_ref, w2k_ref, b2k_ref, w2v_ref, b2v_ref,
+               out_ref, mode=mode, k_nb=k_nb, heads=heads)
+
+
 def _edge_attn_pre_kernel(tsrc_ref, ef_ref, valid_ref, ew_ref, relx_ref,
                           q_ref, tdst_ref, we_ref, ln_ref, w2k_ref, b2k_ref,
                           w2v_ref, b2v_ref, out_ref, *,
@@ -322,6 +341,91 @@ def edge_attention_pre(t_src, edge_feat, valid, e_w, rel_x, q, t_dst,
     )(tsrc_f, ef_f, valid_f, ew_f, relx_f,
       q.astype(jnp.float32), t_dst.astype(jnp.float32),
       w["we"].astype(jnp.bfloat16), w["ln"].astype(jnp.float32),
+      w["w2k"].astype(jnp.bfloat16),
+      w["b2k"].reshape(1, -1).astype(jnp.float32),
+      w["w2v"].astype(jnp.bfloat16),
+      w["b2v"].reshape(1, -1).astype(jnp.float32))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "tile_n", "heads", "interpret"))
+def edge_attention_pre4(h_nb, edge_feat, valid, e_w, rel_x, q, t_dst,
+                        weights: Dict[str, jnp.ndarray], mode: str = "x2h",
+                        tile_n: int = 64, heads: int = 16,
+                        interpret: bool = False):
+    """Fused edge attention over RAW gathered neighbor features.
+
+    h_nb [B,N,K,D] bf16 (gathered h — half the HBM footprint of the pre
+    kernel's [B,N,K,2D] projections; the src projection runs in-kernel);
+    edge_feat [B,N,K,84] bf16; valid [B,N,K]; e_w [B,N,K,1];
+    rel_x [B,N,K,3] f32; q [B,N,D]; t_dst [B,N,2D].
+    weights: ws [D,2D] we [84,2D] ln [4,D] w2k [D,D] b2k [D] w2v [D,VOUT]
+    b2v [VOUT]."""
+    b, n = q.shape[0], q.shape[1]
+    d = q.shape[-1]
+    k_nb = valid.shape[-1]
+    r = n * k_nb
+    vout = weights["w2v"].shape[1]
+    ef_dim = edge_feat.shape[-1]
+
+    interpret = interpret or not edge_attn_available()
+    while n % tile_n != 0:
+        tile_n //= 2
+        if tile_n < 1:
+            raise ValueError(f"node count {n} has no power-of-two tiling")
+    e = tile_n * k_nb
+
+    hnb_f = h_nb.reshape(b, r, d).astype(jnp.bfloat16)
+    ef_f = edge_feat.reshape(b, r, ef_dim).astype(jnp.bfloat16)
+    valid_f = valid.reshape(b, r, 1).astype(jnp.bfloat16)
+    ew_f = e_w.reshape(b, r, 1).astype(jnp.bfloat16)
+    relx_f = rel_x.reshape(b, r, 3).astype(jnp.float32)
+
+    out_d = d if mode == "x2h" else 3
+    grid = (b, n // tile_n)
+
+    def edge_spec(c):
+        return pl.BlockSpec((1, e, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(c):
+        return pl.BlockSpec((1, tile_n, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi, ti: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    w = weights
+    out = pl.pallas_call(
+        functools.partial(_edge_attn_pre4_kernel, mode=mode, k_nb=k_nb,
+                          heads=heads),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            edge_spec(d), edge_spec(ef_dim), edge_spec(1), edge_spec(1),
+            edge_spec(3),
+            tile_spec(d), tile_spec(2 * d),
+            w_spec((d, 2 * d)), w_spec((ef_dim, 2 * d)), w_spec((4, d)),
+            w_spec((d, d)), w_spec((1, d)),
+            w_spec((d, vout)), w_spec((1, vout)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, out_d),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * (d * 2 * d + ef_dim * 2 * d + d * d
+                               + d * vout + 2 * d),
+            bytes_accessed=b * r * (d * 2 + ef_dim * 2 + 20),
+            transcendentals=b * r * d),
+        interpret=interpret,
+    )(hnb_f, ef_f, valid_f, ew_f, relx_f,
+      q.astype(jnp.float32), t_dst.astype(jnp.float32),
+      w["ws"].astype(jnp.bfloat16), w["we"].astype(jnp.bfloat16),
+      w["ln"].astype(jnp.float32),
       w["w2k"].astype(jnp.bfloat16),
       w["b2k"].reshape(1, -1).astype(jnp.float32),
       w["w2v"].astype(jnp.bfloat16),

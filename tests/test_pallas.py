@@ -193,3 +193,22 @@ def test_edge_attn_pallas2_param_structure(uni_setup):
                                                    *args)
     assert (jax.tree_util.tree_structure(params)
             == jax.tree_util.tree_structure(p2))
+
+
+def test_edge_attn_pallas_pre4_matches_xla(uni_setup):
+    UniTransformer, kw, params, args = uni_setup
+    xo, ho, co = UniTransformer(impl="xla", **kw).apply(params, *args)
+    xp, hp, cp = UniTransformer(impl="pallas_pre4", **kw).apply(params,
+                                                                *args)
+    assert float(jnp.abs(xo - xp).max()) < 2e-2
+    assert float(jnp.abs(ho - hp).max()) < 2e-2
+    assert float(jnp.abs(co - cp).max()) < 2e-2
+    assert float(jnp.abs(hp).max()) > 0.1
+
+
+def test_edge_attn_pallas_pre4_param_structure(uni_setup):
+    UniTransformer, kw, params, args = uni_setup
+    p2 = UniTransformer(impl="pallas_pre4", **kw).init(
+        jax.random.PRNGKey(0), *args)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
