@@ -221,7 +221,7 @@ def main(argv=None):
     p.add_argument("--no_tensorboard", action="store_true")
     p.add_argument("--impl", default=None,
                    choices=[None, "xla", "pallas", "pallas_pre",
-                            "pallas_pre3", "pallas2"],
+                            "pallas_pre3", "pallas_pre4", "pallas2"],
                    help="denoiser implementation override for training "
                         "(UniTransformer models); pallas_pre3 trains "
                         "through the fused kernel's recompute custom_vjp")

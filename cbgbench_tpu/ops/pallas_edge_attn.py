@@ -348,6 +348,84 @@ def edge_attention_pre(t_src, edge_feat, valid, e_w, rel_x, q, t_dst,
     return out
 
 
+def _edge_attention_pre4_ref(h_nb, edge_feat, valid, e_w, rel_x, q, t_dst,
+                             weights, *, mode: str, heads: int):
+    """Pure-JAX reference of the pre4 kernel math (bf16 matmuls, f32
+    accumulation) — supplies the backward pass via the recompute
+    custom_vjp and pins the kernel in tests."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    d = q.shape[-1]
+    dh = d // heads
+    w = weights
+
+    z = jnp.einsum("...d,de->...e", h_nb.astype(bf16), w["ws"].astype(bf16),
+                   preferred_element_type=f32)
+    z = z + jnp.einsum("...f,fe->...e", edge_feat.astype(bf16),
+                       w["we"].astype(bf16), preferred_element_type=f32)
+    z = z + t_dst.astype(f32)[:, :, None, :]
+
+    def layer_norm(x, scale, bias):
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, -1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+
+    ln = w["ln"].astype(f32)
+    k = jnp.maximum(layer_norm(z[..., :d], ln[0], ln[1]), 0.0)
+    v = jnp.maximum(layer_norm(z[..., d:], ln[2], ln[3]), 0.0)
+    k = jnp.einsum("...d,dv->...v", k.astype(bf16), w["w2k"].astype(bf16),
+                   preferred_element_type=f32) + w["b2k"].astype(f32)
+    v = jnp.einsum("...d,dv->...v", v.astype(bf16), w["w2v"].astype(bf16),
+                   preferred_element_type=f32) + w["b2v"].astype(f32)
+    v = v * e_w.astype(bf16).astype(f32)
+
+    qh = q.astype(f32).reshape(q.shape[:-1] + (heads, dh))
+    kh = k.reshape(k.shape[:-1] + (heads, dh))
+    logits = jnp.einsum("bnhe,bnkhe->bnkh", qh.astype(bf16),
+                        kh.astype(bf16),
+                        preferred_element_type=f32) / np.sqrt(dh)
+    val = valid.astype(f32)[..., None]
+    logits = logits + (val - 1.0) * (-NEG)
+    m = jnp.max(logits, axis=-2, keepdims=True)
+    p = jnp.exp(logits - m) * val
+    s = jnp.sum(p, axis=-2, keepdims=True)
+    alpha = p / jnp.maximum(s, 1e-9)
+
+    if mode == "x2h":
+        vh = v.reshape(v.shape[:-1] + (heads, dh))
+        out = jnp.sum(alpha[..., None] * vh, axis=-3)
+        return out.reshape(out.shape[:-2] + (d,))
+    relx = rel_x.astype(f32)
+    coeff = jnp.mean(alpha * v, axis=-1, keepdims=True)
+    return jnp.sum(coeff * relx, axis=-2)
+
+
+@functools.lru_cache(maxsize=None)
+def _pre4_vjp(mode: str, tile_n: int, heads: int, interpret: bool):
+    """Recompute custom_vjp for pre4 (same pattern as _pre3_vjp): fused
+    kernel forward, pure-JAX-reference backward."""
+    kernel = functools.partial(_edge_attention_pre4_call, mode=mode,
+                               tile_n=tile_n, heads=heads,
+                               interpret=interpret)
+    ref = functools.partial(_edge_attention_pre4_ref, mode=mode,
+                            heads=heads)
+
+    @jax.custom_vjp
+    def f(h_nb, edge_feat, valid, e_w, rel_x, q, t_dst, weights):
+        return kernel(h_nb, edge_feat, valid, e_w, rel_x, q, t_dst,
+                      weights)
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "tile_n", "heads", "interpret"))
@@ -356,6 +434,7 @@ def edge_attention_pre4(h_nb, edge_feat, valid, e_w, rel_x, q, t_dst,
                         tile_n: int = 64, heads: int = 16,
                         interpret: bool = False):
     """Fused edge attention over RAW gathered neighbor features.
+    DIFFERENTIABLE via the recompute custom_vjp (_pre4_vjp).
 
     h_nb [B,N,K,D] bf16 (gathered h — half the HBM footprint of the pre
     kernel's [B,N,K,2D] projections; the src projection runs in-kernel);
@@ -363,6 +442,16 @@ def edge_attention_pre4(h_nb, edge_feat, valid, e_w, rel_x, q, t_dst,
     rel_x [B,N,K,3] f32; q [B,N,D]; t_dst [B,N,2D].
     weights: ws [D,2D] we [84,2D] ln [4,D] w2k [D,D] b2k [D] w2v [D,VOUT]
     b2v [VOUT]."""
+    return _pre4_vjp(mode, tile_n, heads, interpret)(
+        h_nb, edge_feat, valid, e_w, rel_x, q, t_dst, weights)
+
+
+def _edge_attention_pre4_call(h_nb, edge_feat, valid, e_w, rel_x, q, t_dst,
+                              weights: Dict[str, jnp.ndarray],
+                              mode: str = "x2h",
+                              tile_n: int = 64, heads: int = 16,
+                              interpret: bool = False):
+    """The raw pallas_call forward (wrapped by _pre4_vjp)."""
     b, n = q.shape[0], q.shape[1]
     d = q.shape[-1]
     k_nb = valid.shape[-1]

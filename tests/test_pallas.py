@@ -212,3 +212,23 @@ def test_edge_attn_pallas_pre4_param_structure(uni_setup):
         jax.random.PRNGKey(0), *args)
     assert (jax.tree_util.tree_structure(params)
             == jax.tree_util.tree_structure(p2))
+
+
+def test_edge_attn_pallas_pre4_grads_match_xla(uni_setup):
+    """pre4 trains through the recompute custom_vjp; grads vs XLA to 1e-3."""
+    UniTransformer, kw, params, args = uni_setup
+
+    def loss(p, impl):
+        x, h, c = UniTransformer(impl=impl, **kw).apply(p, *args)
+        return (jnp.sum(x ** 2) + jnp.sum(h ** 2)
+                + sum(jnp.sum(v ** 2) for v in jax.tree.leaves(c)))
+
+    from jax.flatten_util import ravel_pytree
+    g_xla = jax.grad(lambda p: loss(p, "xla"))(params)
+    g_p4 = jax.grad(lambda p: loss(p, "pallas_pre4"))(params)
+    flat_x, _ = ravel_pytree(g_xla)
+    flat_p, _ = ravel_pytree(g_p4)
+    denom = float(jnp.abs(flat_x).max())
+    assert denom > 0
+    rel = float(jnp.abs(flat_x - flat_p).max()) / denom
+    assert rel < 1e-3, rel
