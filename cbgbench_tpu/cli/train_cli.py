@@ -214,6 +214,11 @@ def main(argv=None):
                    help="data-parallel mesh size: shard the batch over N "
                         "devices (params replicated, grads psum over ICI); "
                         "batch_size must be divisible by N")
+    p.add_argument("--tp", type=int, default=1, metavar="M",
+                   help="tensor-parallel factor: --mesh N splits into a "
+                        "(N/M data) x (M model) mesh; Dense output dims "
+                        "shard over 'model' (parallel/mesh.py "
+                        "tensor_parallel_shardings)")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize() for multi-host "
                         "slices before touching devices (DCN orchestration;"
@@ -309,12 +314,21 @@ def main(argv=None):
                 f"{len(jax.devices())} are visible (for CPU testing set "
                 f"XLA_FLAGS=--xla_force_host_platform_device_count="
                 f"{args.mesh} JAX_PLATFORMS=cpu)")
-        if train_cfg["batch_size"] % args.mesh != 0:
+        if args.mesh % args.tp != 0:
+            raise SystemExit(f"--mesh {args.mesh} not divisible by "
+                             f"--tp {args.tp}")
+        n_data = args.mesh // args.tp
+        if train_cfg["batch_size"] % n_data != 0:
             raise SystemExit(f"batch_size {train_cfg['batch_size']} not "
-                             f"divisible by --mesh {args.mesh}")
-        mesh = make_mesh(jax.devices()[:args.mesh], data=args.mesh)
-        state = jax.device_put(state, replicate(mesh))
-        log.info("data-parallel mesh: %s", dict(mesh.shape))
+                             f"divisible by the data axis {n_data}")
+        mesh = make_mesh(jax.devices()[:args.mesh], data=n_data,
+                         model=args.tp)
+        if args.tp > 1:
+            from ..parallel.mesh import shard_params_tp
+            state = shard_params_tp(state, mesh)
+        else:
+            state = jax.device_put(state, replicate(mesh))
+        log.info("mesh: %s", dict(mesh.shape))
         from ..parallel.mesh import global_batch_from_host
 
         def _shard(b):
@@ -342,10 +356,14 @@ def main(argv=None):
                                                                raw["params"])
             state = state.replace(params=merged)
             if mesh is not None:
-                # the merge replaced replicated params with host arrays;
-                # restore the explicit replication (multi-host correctness)
-                from ..parallel.mesh import replicate
-                state = jax.device_put(state, replicate(mesh))
+                # the merge replaced sharded params with host arrays;
+                # restore the explicit layout (multi-host correctness)
+                if args.tp > 1:
+                    from ..parallel.mesh import shard_params_tp
+                    state = shard_params_tp(state, mesh)
+                else:
+                    from ..parallel.mesh import replicate
+                    state = jax.device_put(state, replicate(mesh))
             log.info("finetuning from %s (params only, iter 0): %d leaves "
                      "loaded, %d fresh%s", resume_path, len(got), len(fresh),
                      (" (" + ", ".join(fresh[:6]) + ")") if fresh else "")

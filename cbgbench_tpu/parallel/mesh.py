@@ -64,6 +64,36 @@ def shard_params(params, mesh: Mesh):
         lambda x: jax.device_put(x, replicate(mesh)), params)
 
 
+def tensor_parallel_shardings(params, mesh: Mesh):
+    """Megatron-style layout over the MODEL axis, GSPMD-propagated.
+
+    Dense/embedding kernels split their OUTPUT (last) dim over 'model';
+    matching 1-D biases/scales split likewise; leaves not divisible by the
+    axis stay replicated. XLA propagates the layout through the graph and
+    inserts the ICI collectives — correctness is layout-independent, so
+    this composes with any model here (UniTransformer, SchNet, GVP). With
+    ~10M-param denoisers TP is a memory/scale capability (very large
+    pockets or hidden dims), not a speed lever; the dryrun exercises it so
+    the path is compile-checked on every driver run."""
+    tp = mesh.shape[MODEL_AXIS]
+
+    def rule(x):
+        if tp > 1 and x.ndim >= 2 and x.shape[-1] % tp == 0:
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1) + [MODEL_AXIS])))
+        if tp > 1 and x.ndim == 1 and x.shape[0] % tp == 0:
+            return NamedSharding(mesh, P(MODEL_AXIS))
+        return replicate(mesh)
+
+    return jax.tree.map(rule, params)
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Place params under the tensor-parallel layout."""
+    return jax.tree.map(jax.device_put, params,
+                        tensor_parallel_shardings(params, mesh))
+
+
 def init_multihost(coordinator_address: Optional[str] = None,
                    num_processes: Optional[int] = None,
                    process_id: Optional[int] = None) -> int:

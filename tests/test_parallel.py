@@ -169,3 +169,39 @@ sampling: {num_samples: 2, seed: 3}
                  "--out_root", out, "--num_samples", "2",
                  "--batch_size", "2", "--index", "0", "--mesh", "2"])
     assert os.path.exists(os.path.join(out, "summary.json"))
+
+
+def test_tensor_parallel_step_matches_single_device():
+    """dp x tp (4x2) mesh with megatron-style Dense-output sharding
+    (tensor_parallel_shardings): the train step must reproduce the
+    single-device loss — GSPMD layout changes only reduction orders."""
+    from cbgbench_tpu.parallel.mesh import (MODEL_AXIS, shard_params_tp,
+                                            tensor_parallel_shardings)
+    model, batch = _model_and_batch(batch_size=8)
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+
+    state_1, m_1 = _run_one_step(model, batch)
+
+    rng = jax.random.PRNGKey(0)
+    t = jnp.zeros((batch.ligand.pos.shape[0],), jnp.int32)
+    params = jax.jit(model.init)(rng, batch, t, rng)
+    tx = get_optimizer({"type": "adam", "lr": 1e-4}, max_grad_norm=8.0)
+    state = TrainState.create(params, tx)
+    sb = shard_batch(batch, mesh)
+    state = shard_params_tp(state, mesh)
+    # at least one 2-D kernel leaf must actually be split over 'model'
+    shardings = tensor_parallel_shardings(params, mesh)
+    split = [s for s in jax.tree.leaves(
+        shardings, is_leaf=lambda x: isinstance(x, NamedSharding))
+        if s.spec and s.spec[-1] == MODEL_AXIS]
+    assert split, "no leaf sharded over the model axis"
+
+    step = make_train_step(model, tx, donate=False)
+    state_tp, metrics = step(state, sb, rng)
+    np.testing.assert_allclose(float(metrics["loss"]), m_1["loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["grad_norm"]),
+                               m_1["grad_norm"], rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_1.params),
+                    jax.tree.leaves(state_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-5)
