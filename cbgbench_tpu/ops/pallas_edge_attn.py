@@ -40,7 +40,7 @@ NEG = -1e9
 
 def _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
                w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref, *,
-               mode: str, k_nb: int, heads: int, oh_dst=None):
+               mode: str, k_nb: int, heads: int):
     """Shared back half of every edge-attention kernel: dst-broadcast +
     LayerNorm halves + ReLU + second Dense + per-head logits (HeadSum
     trick) + masked softmax over K + aggregation."""
@@ -50,11 +50,11 @@ def _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
     dh = d // heads
     f32 = jnp.float32
 
-    if oh_dst is None:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (e, tile_n), 0) // k_nb
-        cols_t = jax.lax.broadcasted_iota(jnp.int32, (e, tile_n), 1)
-        oh_dst = (rows == cols_t).astype(jnp.bfloat16)   # [E, TILE_N]
-    z = z + jnp.dot(oh_dst, tdst_ref[0], preferred_element_type=f32)
+    # dst-broadcast by reshape (edges are (node, neighbor) row-major, so
+    # [E, C] == [TILE_N, K, C] for free) — no [E, TILE_N] one-hot matmul
+    two_d = z.shape[-1]
+    z = (z.reshape(tile_n, k_nb, two_d)
+         + tdst_ref[0][:, None, :]).reshape(e, two_d)
 
     def layer_norm(x, scale, bias):
         mu = jnp.mean(x, -1, keepdims=True)
@@ -71,7 +71,8 @@ def _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
                  preferred_element_type=f32) + b2v_ref[0][None, :])
     v = v * ew_ref[0].astype(f32)
 
-    qb = jnp.dot(oh_dst, q_ref[0], preferred_element_type=f32)   # [E, D]
+    qb = jnp.broadcast_to(q_ref[0][:, None, :].astype(f32),
+                          (tile_n, k_nb, d)).reshape(e, d)       # [E, D]
     li = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // dh
     lj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // dh
     head_sum = jnp.where(li == lj, 1.0 / np.sqrt(dh), 0.0
