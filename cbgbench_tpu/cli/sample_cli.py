@@ -30,7 +30,7 @@ def _register_samplers():
 
 def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
                        batch_size, seed, lig_cap, rec_cap, transform=None,
-                       refine_iters=0):
+                       refine_iters=0, refine_clash=0.0):
     """AR growth sampling (pocket2mol / graphbp): yield (pos, atype, mask)
     numpy arrays per replica batch, in the original coordinate frame.
     When the test transform yields a decomp split (ctx_flag), the kept
@@ -120,7 +120,7 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
                 seeds=[seed + bi * 997 + s for s in range(bs)],
                 max_steps=12,     # reference default (flag.py:251)
                 lig_cap=min(lig_cap, 64), rec_cap=rec_cap,
-                refine_iters=refine_iters)
+                refine_iters=refine_iters, refine_clash=refine_clash)
             yield ("mols", [m for m in mols if m is not None], bs)
         else:
             raise ValueError(model_type)
@@ -161,6 +161,10 @@ def main(argv=None):
                         "force heads N times to each grown pose "
                         "(extension; the reference trains but never "
                         "applies them)")
+    p.add_argument("--refine_clash", type=float, default=0.0,
+                   help="FLAG: steric-repulsion step size added to each "
+                        "refine iteration (parameter-free physics term; "
+                        "pushes atoms out of <2.7 A protein overlap)")
     args = p.parse_args(argv)
 
     if args.device == "cpu":
@@ -268,7 +272,8 @@ def main(argv=None):
             batches = _sample_ar_batches(
                 model_cfg["type"], model, params, ds, i, num_samples,
                 args.batch_size, seed, min(args.lig_cap, 64), args.rec_cap,
-                transform=transform, refine_iters=args.refine_iters)
+                transform=transform, refine_iters=args.refine_iters,
+                refine_clash=args.refine_clash)
         else:
             batches = None
         if batches is not None:

@@ -158,7 +158,7 @@ class FLAG(nn.Module):
         mse2 = se2.sum() / jnp.maximum(pm2.sum(), 1)
         return mse1 + mse2
 
-    def refine_step(self, batch: FLAGBatch):
+    def refine_step(self, batch: FLAGBatch, clash_push: float = 0.0):
         """One pose-refinement step: displace context atoms by the trained
         mean forces. Returns ctx_pos' [B, NL, 3].
 
@@ -166,9 +166,24 @@ class FLAG(nn.Module):
         but never applies them at sampling (flag.py:276 comments
         'structure refinement' yet only predicts focal atoms). Applying
         the learned forces to the grown pose moves it toward the
-        geometry the heads were taught to leave stationary."""
+        geometry the heads were taught to leave stationary.
+
+        clash_push > 0 adds a parameter-free steric term: each ligand atom
+        within 2.7 Å of a protein atom (the crystal contact band starts at
+        ~2.97 Å) is displaced along the away-vector by clash_push x the
+        summed overlap — the learned forces fix intra-ligand geometry
+        (measured JSD_BL 0.65 -> 0.38) but leave protein separation
+        untouched (0.85 Å pre and post), so the physics term supplies the
+        missing gradient."""
         x, h, vec, mask, nl = self.encode(batch)
         new_pos, _, _ = self._sr_forces(h[:, :nl], h[:, nl:], batch)
+        if clash_push:
+            diff = new_pos[:, :, None] - batch.rec_pos[:, None]  # [B,NL,NR,3]
+            d = jnp.sqrt(jnp.sum(diff ** 2, -1) + 1e-12)
+            overlap = jnp.maximum(0.0, 2.7 - d) * batch.rec_mask[:, None]
+            push = jnp.sum((overlap / d)[..., None] * diff, axis=2)
+            new_pos = new_pos + clash_push * push \
+                * batch.ctx_mask[..., None]
         return new_pos
 
     def motif_logits(self, h_lig, batch: FLAGBatch):

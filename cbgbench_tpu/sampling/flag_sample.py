@@ -507,14 +507,15 @@ def _predict_rows(model, params, samples, from_protein, lig_cap, rec_cap,
                         num_cand, dm_cap)[:len(samples)]
 
 
-@functools.partial(__import__("jax").jit, static_argnames=("model",))
-def _jit_refine(model, params, batch):
-    return model.apply(params, batch, method="refine_step")
+@functools.partial(__import__("jax").jit,
+                   static_argnames=("model", "clash_push"))
+def _jit_refine(model, params, batch, clash_push=0.0):
+    return model.apply(params, batch, clash_push, method="refine_step")
 
 
 def _refine_molecules(model, params, base_sample, mols, lig_cap, rec_cap,
                       refine_iters, featurize_mode, num_cand, cand_atoms,
-                      dm_cap):
+                      dm_cap, clash_push=0.0):
     """Apply the trained sr force heads to grown poses (EXTENSION: the
     reference trains refine_protein/refine_ligand but never applies them
     at sampling). One jitted program refines the whole batch per
@@ -542,7 +543,7 @@ def _refine_molecules(model, params, base_sample, mols, lig_cap, rec_cap,
     from ..data.flag_data import stack_flag_batch
     batch = stack_flag_batch(samples, lig_cap=lig_cap, rec_cap=rec_cap)
     for _ in range(refine_iters):
-        new_pos = _jit_refine(model, params, batch)
+        new_pos = _jit_refine(model, params, batch, clash_push=clash_push)
         batch = batch.replace(ctx_pos=new_pos)
     pos = np.asarray(batch.ctx_pos)
     out = list(mols)
@@ -558,7 +559,8 @@ def sample_flag_batch(model, params, base_sample: dict, vocab: MotifVocab,
                       seeds, max_steps: int = 12, lig_cap: int = 64,
                       rec_cap: int = 448, num_cand: int = 8,
                       cand_atoms: int = 48, dm_cap: int = 32,
-                      featurize_mode: str = "basic", refine_iters: int = 0):
+                      featurize_mode: str = "basic", refine_iters: int = 0,
+                      refine_clash: float = 0.0):
     """Grow len(seeds) ligands concurrently in the same pocket.
 
     Lockstep driver over per-molecule coroutines: each round collects one
@@ -599,7 +601,7 @@ def sample_flag_batch(model, params, base_sample: dict, vocab: MotifVocab,
         results = _refine_molecules(model, params, base_sample, results,
                                     lig_cap, rec_cap, refine_iters,
                                     featurize_mode, num_cand, cand_atoms,
-                                    dm_cap)
+                                    dm_cap, clash_push=refine_clash)
     return results
 
 
