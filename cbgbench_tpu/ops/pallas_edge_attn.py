@@ -92,11 +92,15 @@ def _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
     if mode == "x2h":
         out_ref[0] = jnp.sum(alpha * v.reshape(tile_n, k_nb, d), axis=1)
     else:
-        # v: [E, H] head scalars, expanded across each head's dh lanes by
-        # broadcast+reshape (row-major: lane j belongs to head j // dh)
+        # v: [E, H] head scalars; expand across each head's dh lanes with
+        # a block-diagonal matmul (a broadcast+reshape would be free, but
+        # Mosaic rejects the [E,H,dh]->[T,K,D] lane-regrouping shape cast)
         vout = v.shape[1]
-        v128 = jnp.broadcast_to(v.astype(f32)[:, :, None],
-                                (e, vout, dh)).reshape(e, vout * dh)
+        rep = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 0)
+        tgt = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 1) // dh
+        expand = jnp.where(rep == tgt, 1.0, 0.0).astype(jnp.bfloat16)
+        v128 = jnp.dot(v.astype(jnp.bfloat16), expand,
+                       preferred_element_type=f32)       # [E, D]
         w = alpha * v128.reshape(tile_n, k_nb, d)
         coeff = jnp.sum(w, axis=-1, keepdims=True) / (dh * heads)  # [T,K,1]
         r3 = relx.reshape(tile_n, k_nb, 3)
