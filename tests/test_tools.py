@@ -307,3 +307,21 @@ def test_similarity_tools():
     assert (rings >= 0).all()
     # benzene-containing crystal ligands have rings
     assert rings.max() >= 1
+
+
+def test_crystal_ligand_stability_ceiling():
+    """The valence-table stability check is harsh on real molecules: the
+    bundled CRYSTAL poses score mol_stable 0.2 / atm_stable ~0.92. Pin it
+    so metric-implementation drift is visible and generated-row numbers
+    are read against the right ceiling (BASELINE.md corpus table)."""
+    from cbgbench_tpu.data.dataset import scan_pair_dir
+    from cbgbench_tpu.chem.sdf import read_sdf
+    from cbgbench_tpu.chem.mol2 import read_mol2
+    from cbgbench_tpu.tools.geometry import analyze_stability
+    mols = []
+    for _, lig in scan_pair_dir("assets/examples"):
+        mols.append((read_mol2(lig) if lig.endswith(".mol2")
+                     else read_sdf(lig))[0])
+    r = analyze_stability(mols)
+    assert abs(r["mol_stable"] - 0.2) < 1e-9
+    assert 0.90 < r["atm_stable"] < 0.95
