@@ -82,8 +82,17 @@ class GraphBPBatch:
 
 def build_graphbp_sample(sample: dict, rng: np.random.Generator,
                          num_atom_types: int = 13,
-                         step: Optional[int] = None) -> dict:
-    """Featurized (ligand, protein) -> one random-step GraphBP row (numpy)."""
+                         step: Optional[int] = None,
+                         pos_noise: float = 0.1) -> dict:
+    """Featurized (ligand, protein) -> one random-step GraphBP row (numpy).
+
+    pos_noise jitters the PLACED prefix (exposure-bias mitigation: at
+    sampling, prefixes are flow-placed, not crystal geometry — measured on
+    the q3 checkpoints, the focus head reads clean-trained features of
+    flow-placed prefixes as 'complete' after ~8 atoms and growth dies
+    under the reference's min_atoms discard). Internal-coordinate targets
+    are computed AGAINST the jittered anchors, so the flow learns to
+    place the true atom from imperfect prefixes."""
     lig, rec = sample["ligand"], sample["protein"]
     pos_gen = lig["pos"]
     types_gen = lig["atype"]
@@ -157,8 +166,11 @@ def build_graphbp_sample(sample: dict, rng: np.random.Generator,
 
     i = int(rng.integers(0, n)) if step is None else step   # step index
 
-    # nodes: rec ∪ placed gen[0:i]
-    nodes_pos = np.concatenate([rec_pos, pos_o[:i]])
+    # nodes: rec ∪ placed gen[0:i] (prefix jittered — see docstring)
+    prefix = pos_o[:i]
+    if pos_noise > 0 and i > 0:
+        prefix = prefix + rng.normal(0.0, pos_noise, prefix.shape)
+    nodes_pos = np.concatenate([rec_pos, prefix])
     nodes_z = np.concatenate([rec_z, types_o[:i]])
     gen_flag = np.concatenate([np.zeros(len(rec_pos), bool), np.ones(i, bool)])
 

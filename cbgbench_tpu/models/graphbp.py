@@ -246,8 +246,12 @@ class GraphBP(nn.Module):
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         b = batch.z.shape[0]
 
-        # focus viability: any placed gen atom with focus_score(can) OR first
-        focus_score = nn.sigmoid(self.focus_mlp(node_feat)[..., 0])
+        # focus viability: any placed gen atom with focus_score(can) OR
+        # first. Reference quirk preserved: sampling thresholds the RAW
+        # LOGIT at 0.5 (graphbp.py:294 applies no sigmoid, unlike the
+        # trained head at :155) == sigmoid < 0.622
+        focus_score = nn.sigmoid(self.focus_mlp(node_feat)[..., 0]
+                                 - jnp.float32(0.5))
         gen_m = batch.gen_flag & batch.mask
         can_focus = (focus_score < 0.5) & gen_m
         focus_ok = can_focus.any(axis=1) | batch.is_first_step
@@ -330,8 +334,13 @@ class GraphBP(nn.Module):
         ctx_m = batch.mask & ~batch.gen_flag
         first = batch.is_first_step
 
-        focus_score = nn.sigmoid(self.focus_mlp(node_feat)[..., 0])
-        contact_score = nn.sigmoid(self.contact_mlp(node_feat)[..., 0])
+        # reference quirk: sampling thresholds RAW logits at 0.5
+        # (graphbp.py:294 focus / :281 contact) == sigmoid < 0.622; the
+        # -0.5 shift reproduces that under the score<0.5 comparisons below
+        focus_score = nn.sigmoid(self.focus_mlp(node_feat)[..., 0]
+                                 - jnp.float32(0.5))
+        contact_score = nn.sigmoid(self.contact_mlp(node_feat)[..., 0]
+                                   - jnp.float32(0.5))
         score = jnp.where(first[:, None], contact_score, focus_score)
         pool = jnp.where(first[:, None], ctx_m, gen_m)
         finite = jnp.where(pool, jnp.isfinite(score), True).all(axis=1)
