@@ -88,7 +88,8 @@ def main():
         from cbgbench_tpu.ops.knn import (gather_neighbors, knn_neighbors,
                                           pairwise_sqdist)
         from cbgbench_tpu.ops.pallas_edge_attn import (edge_attention_pre,
-                                                       edge_attention_pre3)
+                                                       edge_attention_pre3,
+                                                       edge_attention_pre4)
         from cbgbench_tpu.ops.rbf import GaussianSmearingTable
         from cbgbench_tpu.nn.common import outer_product
 
@@ -124,6 +125,8 @@ def main():
         w3h = dict(w3, w2v=jax.random.normal(keys[9], (d, 16)) * 0.05,
                    b2v=jnp.zeros(16))
         wpreh = dict(wpre, w2v=w3h["w2v"], b2v=w3h["b2v"])
+        hnb = jax.random.normal(keys[0], (b, n, k, d)).astype(jnp.bfloat16)
+        w4 = dict(wpre, ws=ws)
         rbf_t = GaussianSmearingTable(0.0, 10.0, 20)
 
         def edge_feat_build(i):
@@ -159,8 +162,11 @@ def main():
             "kern_pre3_x2h": lambda i: edge_attention_pre3(
                 vary(tsrc, i), valid, ea4, eww, relx, qq, tdst, w3,
                 mode="x2h"),
-            "kern_pre3_t128": lambda i: edge_attention_pre3(
-                vary(tsrc, i), valid, ea4, eww, relx, qq, tdst, w3,
+            "kern_pre4_x2h": lambda i: edge_attention_pre4(
+                vary(hnb, i), ef84, valid, eww, relx, qq, tdst, w4,
+                mode="x2h"),
+            "kern_pre4_t128": lambda i: edge_attention_pre4(
+                vary(hnb, i), ef84, valid, eww, relx, qq, tdst, w4,
                 mode="x2h", tile_n=128),
         }
         for name, fn in comps.items():
