@@ -269,6 +269,15 @@ class X2HAttnFused(_EdgeAttnBase):
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
                 mode="x2h", heads=self.n_heads)
             out = out.astype(h.dtype)
+        elif self.impl == "pallas_pre5":
+            from ..ops.pallas_edge_attn import edge_attention_pre5
+            ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
+                                                      jnp.float32)
+            out = edge_attention_pre5(
+                h.astype(jnp.bfloat16), idx, edge_feat, valid, ew,
+                rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
+                mode="x2h", heads=self.n_heads)
+            out = out.astype(h.dtype)
         elif self.impl == "pallas2":
             from ..ops.pallas_edge_attn import edge_attention2
             ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
@@ -342,6 +351,14 @@ class H2XAttnFused(_EdgeAttnBase):
                 valid.shape + (1,), jnp.float32)
             return edge_attention_pre4(
                 self._h_gathered(p, h, idx), edge_feat, valid, ew,
+                rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
+                mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
+        if self.impl == "pallas_pre5":
+            from ..ops.pallas_edge_attn import edge_attention_pre5
+            ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(
+                valid.shape + (1,), jnp.float32)
+            return edge_attention_pre5(
+                h.astype(jnp.bfloat16), idx, edge_feat, valid, ew,
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
                 mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
         if self.impl == "pallas2":
