@@ -182,7 +182,14 @@ class FLAG(nn.Module):
             d = jnp.sqrt(jnp.sum(diff ** 2, -1) + 1e-12)
             overlap = jnp.maximum(0.0, 2.7 - d) * batch.rec_mask[:, None]
             push = jnp.sum((overlap / d)[..., None] * diff, axis=2)
-            new_pos = new_pos + clash_push * push \
+            push = push * batch.ctx_mask[..., None]
+            # RIGID translation by the mean push: per-atom pushes stretch
+            # bonds (measured: JSD_BL 0.375 -> 0.544 at clash_push 0.4);
+            # translating the molecule whole preserves internal geometry
+            # and lets the learned sr forces do the local work
+            n_atoms = jnp.maximum(batch.ctx_mask.sum(-1, keepdims=True), 1)
+            rigid = push.sum(1) / n_atoms                       # [B, 3]
+            new_pos = new_pos + clash_push * rigid[:, None] \
                 * batch.ctx_mask[..., None]
         return new_pos
 
