@@ -226,7 +226,7 @@ class X2HAttnFused(_EdgeAttnBase):
 
     @nn.compact
     def __call__(self, h, valid, e_w, *, h_src=None, edge_feat=None,
-                 idx=None, edge_attr=None, rel_x=None):
+                 idx=None, edge_attr=None, rel_x=None, x=None, cls=None):
         d = self.hidden_dim
         dh = d // self.n_heads
         cdt = self.dtype or h.dtype
@@ -278,6 +278,15 @@ class X2HAttnFused(_EdgeAttnBase):
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
                 mode="x2h", heads=self.n_heads)
             out = out.astype(h.dtype)
+        elif self.impl == "pallas_pre6":
+            from ..ops.pallas_edge_attn import edge_attention_pre6
+            ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
+                                                      jnp.float32)
+            out = edge_attention_pre6(
+                h.astype(jnp.bfloat16), x, idx, cls, valid, ew,
+                q, self._t_dst(p, h), self._kernel_weights_pre4(p),
+                mode="x2h", heads=self.n_heads)
+            out = out.astype(h.dtype)
         elif self.impl == "pallas2":
             from ..ops.pallas_edge_attn import edge_attention2
             ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
@@ -313,7 +322,7 @@ class H2XAttnFused(_EdgeAttnBase):
 
     @nn.compact
     def __call__(self, h, valid, e_w, rel_x, *, h_src=None, edge_feat=None,
-                 idx=None, edge_attr=None):
+                 idx=None, edge_attr=None, x=None, cls=None):
         d = self.hidden_dim
         dh = d // self.n_heads
         cdt = self.dtype or h.dtype
@@ -361,6 +370,14 @@ class H2XAttnFused(_EdgeAttnBase):
                 h.astype(jnp.bfloat16), idx, edge_feat, valid, ew,
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
                 mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
+        if self.impl == "pallas_pre6":
+            from ..ops.pallas_edge_attn import edge_attention_pre6
+            ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(
+                valid.shape + (1,), jnp.float32)
+            return edge_attention_pre6(
+                h.astype(jnp.bfloat16), x, idx, cls, valid, ew,
+                q, self._t_dst(p, h), self._kernel_weights_pre4(p),
+                mode="h2x", heads=self.n_heads).astype(jnp.float32)
         if self.impl == "pallas2":
             from ..ops.pallas_edge_attn import edge_attention2
             ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(

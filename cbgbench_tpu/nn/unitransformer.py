@@ -72,7 +72,15 @@ class E3DualAttentionLayer(nn.Module):
 
         # ---- shared per-layer edge geometry ----
         h_in = h
-        if self.impl in ("pallas", "pallas2", "pallas_pre3"):
+        cls6 = None
+        if self.impl == "pallas_pre6":
+            # everything edge-shaped happens in-kernel; only the 4-class
+            # edge index is precomputed (once per layer, [B,N,K] int32)
+            cls6 = jnp.argmax(edge_attr, -1).astype(jnp.int32)
+            rel_x = None
+            h_src = h_src2 = None
+            edge_feat = None
+        elif self.impl in ("pallas", "pallas2", "pallas_pre3"):
             # h gathers happen inside the fused kernel (pallas/pallas2) or
             # ride the XLA projection gather (pre3); edge features are
             # built in-kernel so only rel_x is precomputed (exact 3-plane
@@ -118,13 +126,15 @@ class E3DualAttentionLayer(nn.Module):
             h_in = X2HAttnFused(out_fc=self.x2h_out_fc, name=f"x2h_{i}",
                                 **common)(h_in, valid, ew, h_src=h_src,
                                           edge_feat=edge_feat, idx=idx,
-                                          edge_attr=edge_attr, rel_x=rel_x)
+                                          edge_attr=edge_attr, rel_x=rel_x,
+                                          x=x, cls=cls6)
         h_out = h_in
 
         x_out = x
         for i in range(self.num_h2x):
             if self.impl not in ("pallas", "pallas_pre", "pallas2",
-                                 "pallas_pre3", "pallas_pre4", "pallas_pre5"):
+                                 "pallas_pre3", "pallas_pre4",
+                                 "pallas_pre5", "pallas_pre6"):
                 (h_src2,) = smart_gather([h_out.astype(gdt)], idx,
                                          method=self.gather_method)
                 h_src2 = h_src2.astype(h.dtype)
@@ -132,7 +142,8 @@ class E3DualAttentionLayer(nn.Module):
                                    **common)(h_out, valid, e_w, rel_x,
                                              h_src=h_src2,
                                              edge_feat=edge_feat, idx=idx,
-                                             edge_attr=edge_attr)
+                                             edge_attr=edge_attr,
+                                             x=x, cls=cls6)
             x_out = x_out + delta_x * gen_flag.astype(x.dtype)[..., None]
             # dynamic_x within a single h2x application is a no-op; with
             # num_h2x > 1 later applications keep the layer-entry edges

@@ -272,6 +272,53 @@ def _edge_attn_pre5_kernel(hn_ref, idx_ref, ef_ref, valid_ref, ew_ref,
                out_ref, mode=mode, k_nb=k_nb, heads=heads)
 
 
+def _edge_attn_pre6_kernel(hn_ref, pos9_ref, post_ref, idx_ref, cls_ref,
+                           valid_ref, ew_ref, q_ref, tdst_ref, offs_ref,
+                           ws_ref, we_ref, ln_ref, w2k_ref, b2k_ref,
+                           w2v_ref, b2v_ref, out_ref, *, mode: str,
+                           n_src: int, k_nb: int, heads: int, eps: float):
+    """pre6: the ENTIRE edge phase lives here. In-kernel one-hot gather of
+    h (bf16) and pos (3 exact bf16 planes — TPU f32 dots run at bf16 input
+    precision), rel_x/dist/RBF computed in-registers, and the [E,84] edge
+    features assembled by a lane-mask trick: rbf tiled x4 along lanes,
+    masked by (lane//20 == edge_class), so the SINGLE [E,84]@[84,2D]
+    matmul of the pre kernels is preserved (pre3's per-class narrow
+    matmuls were the measured regression). Nothing edge-shaped ever
+    touches HBM."""
+    f32 = jnp.float32
+    tile_n = q_ref.shape[1]
+    e = tile_n * k_nb
+
+    idx = idx_ref[0]                                     # [E, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (e, n_src), 1)
+    oh = (idx == cols).astype(jnp.bfloat16)              # [E, N]
+    hnb = jnp.dot(oh, hn_ref[0],
+                  preferred_element_type=f32).astype(jnp.bfloat16)
+    p9 = jnp.dot(oh, pos9_ref[0], preferred_element_type=f32)   # [E, 9]
+    x_src = p9[:, 0:3] + p9[:, 3:6] + p9[:, 6:9]
+    x_dst = jnp.broadcast_to(post_ref[0][:, None, :3].astype(f32),
+                             (tile_n, k_nb, 3)).reshape(e, 3)
+    relx = x_dst - x_src                                 # [E, 3] f32
+
+    dist = jnp.sqrt(jnp.sum(relx * relx, -1, keepdims=True) + eps)
+    diff = dist - offs_ref[0][None, :]                   # [E, 20]
+    rbf = jnp.exp(-0.5 * diff * diff)                    # [E, 20] f32
+    cls = cls_ref[0]                                     # [E, 1] int32
+    lane80 = jax.lax.broadcasted_iota(jnp.int32, (e, 80), 1) // 20
+    mask80 = (lane80 == cls).astype(f32)
+    rbf4 = jnp.concatenate([rbf, rbf, rbf, rbf], axis=1) * mask80
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (e, 4), 1)
+    ea4 = (lane4 == cls).astype(f32)
+    ef = jnp.concatenate([ea4, rbf4], axis=1).astype(jnp.bfloat16)
+
+    z = jnp.dot(hnb, ws_ref[:], preferred_element_type=f32)
+    z = z + jnp.dot(ef, we_ref[:], preferred_element_type=f32)
+
+    _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
+               w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref,
+               mode=mode, k_nb=k_nb, heads=heads)
+
+
 def _edge_attn_pre_kernel(tsrc_ref, ef_ref, valid_ref, ew_ref, relx_ref,
                           q_ref, tdst_ref, we_ref, ln_ref, w2k_ref, b2k_ref,
                           w2v_ref, b2v_ref, out_ref, *,
@@ -543,6 +590,103 @@ def _edge_attention_pre4_call(h_nb, edge_feat, valid, e_w, rel_x, q, t_dst,
         interpret=interpret,
     )(hnb_f, ef_f, valid_f, ew_f, relx_f,
       q.astype(jnp.float32), t_dst.astype(jnp.float32),
+      w["ws"].astype(jnp.bfloat16), w["we"].astype(jnp.bfloat16),
+      w["ln"].astype(jnp.float32),
+      w["w2k"].astype(jnp.bfloat16),
+      w["b2k"].reshape(1, -1).astype(jnp.float32),
+      w["w2v"].astype(jnp.bfloat16),
+      w["b2v"].reshape(1, -1).astype(jnp.float32))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "tile_n", "heads", "eps", "interpret"))
+def edge_attention_pre6(h_node, pos, idx, cls, valid, e_w, q, t_dst,
+                        weights: Dict[str, jnp.ndarray], mode: str = "x2h",
+                        tile_n: int = 64, heads: int = 16,
+                        eps: float = 1e-12, interpret: bool = False):
+    """Self-contained fused edge attention (see _edge_attn_pre6_kernel).
+
+    h_node [B,N,D] bf16; pos [B,N,3] f32 (current-layer coordinates);
+    idx/cls/valid [B,N,K] (cls = 4-class edge type index); e_w [B,N,K,1];
+    q [B,N,D]; t_dst [B,N,2D]. weights: ws [D,2D] we [84,2D] ln w2k b2k
+    w2v b2v (the pre4 set). No edge-shaped tensor is read or written in
+    HBM. Forward-only (sampling path)."""
+    b, n = q.shape[0], q.shape[1]
+    d = q.shape[-1]
+    k_nb = idx.shape[-1]
+    r = n * k_nb
+    vout = weights["w2v"].shape[1]
+
+    interpret = interpret or not edge_attn_available()
+    while n % tile_n != 0:
+        tile_n //= 2
+        if tile_n < 1:
+            raise ValueError(f"node count {n} has no power-of-two tiling")
+    e = tile_n * k_nb
+
+    # 3 exact bf16 planes of pos (node-level, tiny)
+    posf = pos.astype(jnp.float32)
+    hi = posf.astype(jnp.bfloat16)
+    r1 = posf - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    pos9 = jnp.concatenate([hi, mid, lo], axis=-1)       # [B, N, 9] bf16
+
+    idx_f = idx.reshape(b, r, 1).astype(jnp.int32)
+    cls_f = cls.reshape(b, r, 1).astype(jnp.int32)
+    valid_f = valid.reshape(b, r, 1).astype(jnp.bfloat16)
+    ew_f = e_w.reshape(b, r, 1).astype(jnp.bfloat16)
+
+    out_d = d if mode == "x2h" else 3
+    grid = (b, n // tile_n)
+
+    def edge_spec(c):
+        return pl.BlockSpec((1, e, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def node_spec(nn_, c):
+        return pl.BlockSpec((1, nn_, c), lambda bi, ti: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(c):
+        return pl.BlockSpec((1, tile_n, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi, ti: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    w = weights
+    out = pl.pallas_call(
+        functools.partial(_edge_attn_pre6_kernel, mode=mode, n_src=n,
+                          k_nb=k_nb, heads=heads, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            node_spec(n, d), node_spec(n, 9),
+            tile_spec(3),
+            edge_spec(1), edge_spec(1), edge_spec(1), edge_spec(1),
+            tile_spec(d), tile_spec(2 * d),
+            w_spec((1, 20)),
+            w_spec((d, 2 * d)), w_spec((84, 2 * d)), w_spec((4, d)),
+            w_spec((d, d)), w_spec((1, d)),
+            w_spec((d, vout)), w_spec((1, vout)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, out_d),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * (n * (d + 9) + d * 2 * d + 84 * 2 * d
+                               + d * d + d * vout),
+            bytes_accessed=b * (n * (d + 9) * 2 + r * 8),
+            transcendentals=b * r * 21),
+        interpret=interpret,
+    )(h_node.astype(jnp.bfloat16), pos9, posf, idx_f, cls_f, valid_f, ew_f,
+      q.astype(jnp.float32), t_dst.astype(jnp.float32),
+      jnp.asarray(np.asarray(FIXED_OFFSETS), jnp.float32).reshape(1, 20),
       w["ws"].astype(jnp.bfloat16), w["we"].astype(jnp.bfloat16),
       w["ln"].astype(jnp.float32),
       w["w2k"].astype(jnp.bfloat16),
