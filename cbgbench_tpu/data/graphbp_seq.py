@@ -166,10 +166,15 @@ def build_graphbp_sample(sample: dict, rng: np.random.Generator,
 
     i = int(rng.integers(0, n)) if step is None else step   # step index
 
-    # nodes: rec ∪ placed gen[0:i] (prefix jittered — see docstring)
+    # nodes: rec ∪ placed gen[0:i] (prefix jittered — see docstring).
+    # Curriculum: tiny prefixes get 3x the jitter — sampling-time drift is
+    # worst right after the first flow placements (measured: growth stops
+    # at 1-2 atoms on pockets where the first placement lands slightly
+    # off-manifold), so the heads/flows must be robust exactly there.
     prefix = pos_o[:i]
     if pos_noise > 0 and i > 0:
-        prefix = prefix + rng.normal(0.0, pos_noise, prefix.shape)
+        sigma = pos_noise * (3.0 if i <= 3 else 1.0)
+        prefix = prefix + rng.normal(0.0, sigma, prefix.shape)
     nodes_pos = np.concatenate([rec_pos, prefix])
     nodes_z = np.concatenate([rec_z, types_o[:i]])
     gen_flag = np.concatenate([np.zeros(len(rec_pos), bool), np.ones(i, bool)])
