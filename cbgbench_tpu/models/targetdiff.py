@@ -246,18 +246,20 @@ def _resolve_impl(model, impl, n_nodes: int = 0):
     """'auto' -> fused Pallas kernels on TPU backends, XLA elsewhere;
     returns a (possibly cloned) model whose denoiser uses that impl.
 
-    The auto choice is bucket-size dependent (measured on v5e, 30-rep
-    in-program timing on an idle chip, [16,N,32,128]): the hybrid
-    'pallas_pre' (XLA one-hot gathers + fused kernel tail) wins at small
-    buckets (N=512: 28.3 vs 29.2 ms), but its [B,N·K,N] one-hot HBM
-    traffic grows as N² while the fully fused 'pallas' gathers in VMEM —
-    the fully fused path wins from N=640 up (640: 38.3 vs 40.6 ms;
-    768: 49.5 vs 52.3; 896: 57.0 vs 70.5). Crossover sits between 512
-    and 640 composed nodes."""
+    Round-3 measurement (v5e, 30-60-rep in-program timing,
+    [16,N,32,128], BASELINE.md kernel ladder): 'pallas_pre5' — raw-h
+    neighbor gather via an in-VMEM one-hot (the XLA gather materializes
+    a [B,N·K,N] bf16 one-hot in HBM), src projection in-kernel — wins at
+    every measured bucket (512: 23.0 vs pre 26.9; 1024: 55.5 vs pre4
+    55.9 vs pallas 62.6), so auto is no longer bucket-dependent. The
+    fully-in-kernel 'pallas_pre6' (pos gather + RBF + edge features in
+    registers) measured a 51% REGRESSION (34.7 at N=512) — the narrow
+    plane matmuls and f32 lane-mask work cost more than the XLA-side
+    build they replaced; kept as a documented negative."""
     if impl == "auto":
         from ..ops.pallas_edge_attn import edge_attn_available
         if edge_attn_available():
-            impl = "pallas" if n_nodes >= 640 else "pallas_pre"
+            impl = "pallas_pre5"
         else:
             impl = model.impl
     if impl and impl != model.impl:
