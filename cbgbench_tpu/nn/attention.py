@@ -199,6 +199,13 @@ class _EdgeAttnBase(nn.Module):
         w["ws"] = jnp.concatenate([p["k_in_src"], p["v_in_src"]], 1)
         return w
 
+    def _kernel_weights_pre7(self, p):
+        """pre4 set + the dst Dense (computed in-kernel by pre7)."""
+        w = self._kernel_weights_pre4(p)
+        w["wd"] = jnp.concatenate([p["k_in_dst"], p["v_in_dst"]], 1)
+        w["bd"] = jnp.concatenate([p["k_in_bias"], p["v_in_bias"]])
+        return w
+
     def _h_gathered(self, p, h, idx):
         """Raw neighbor h rows [B,N,K,D] bf16 — half the HBM footprint of
         the projected _t_src_gathered; pre4 projects in-kernel."""
@@ -285,6 +292,15 @@ class X2HAttnFused(_EdgeAttnBase):
             out = edge_attention_pre6(
                 h.astype(jnp.bfloat16), x, idx, cls, valid, ew,
                 q, self._t_dst(p, h), self._kernel_weights_pre4(p),
+                mode="x2h", heads=self.n_heads)
+            out = out.astype(h.dtype)
+        elif self.impl == "pallas_pre7":
+            from ..ops.pallas_edge_attn import edge_attention_pre7
+            ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
+                                                      jnp.float32)
+            out = edge_attention_pre7(
+                h.astype(jnp.bfloat16), idx, edge_feat, valid, ew,
+                rel_x, q, self._kernel_weights_pre7(p),
                 mode="x2h", heads=self.n_heads)
             out = out.astype(h.dtype)
         elif self.impl == "pallas2":
@@ -377,6 +393,14 @@ class H2XAttnFused(_EdgeAttnBase):
             return edge_attention_pre6(
                 h.astype(jnp.bfloat16), x, idx, cls, valid, ew,
                 q, self._t_dst(p, h), self._kernel_weights_pre4(p),
+                mode="h2x", heads=self.n_heads).astype(jnp.float32)
+        if self.impl == "pallas_pre7":
+            from ..ops.pallas_edge_attn import edge_attention_pre7
+            ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(
+                valid.shape + (1,), jnp.float32)
+            return edge_attention_pre7(
+                h.astype(jnp.bfloat16), idx, edge_feat, valid, ew,
+                rel_x, q, self._kernel_weights_pre7(p),
                 mode="h2x", heads=self.n_heads).astype(jnp.float32)
         if self.impl == "pallas2":
             from ..ops.pallas_edge_attn import edge_attention2

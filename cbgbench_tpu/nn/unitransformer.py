@@ -89,7 +89,8 @@ class E3DualAttentionLayer(nn.Module):
             rel_x = x[..., :, None, :] - x_src
             h_src = h_src2 = None
             edge_feat = None
-        elif self.impl in ("pallas_pre", "pallas_pre4", "pallas_pre5"):
+        elif self.impl in ("pallas_pre", "pallas_pre4", "pallas_pre5",
+                           "pallas_pre7"):
             # hybrid: XLA gathers projections at MXU peak, the kernel
             # fuses the rest; edge features shared across both attentions
             x_src = gather_neighbors(x, idx)
@@ -134,7 +135,8 @@ class E3DualAttentionLayer(nn.Module):
         for i in range(self.num_h2x):
             if self.impl not in ("pallas", "pallas_pre", "pallas2",
                                  "pallas_pre3", "pallas_pre4",
-                                 "pallas_pre5", "pallas_pre6"):
+                                 "pallas_pre5", "pallas_pre6",
+                                 "pallas_pre7"):
                 (h_src2,) = smart_gather([h_out.astype(gdt)], idx,
                                          method=self.gather_method)
                 h_src2 = h_src2.astype(h.dtype)

@@ -38,14 +38,14 @@ LANE = 128
 NEG = -1e9
 
 
-def _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
+def _attn_tail(z, valid_ref, ew_ref, relx, q_t, tdst_t, ln_ref,
                w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref, *,
                mode: str, k_nb: int, heads: int):
     """Shared back half of every edge-attention kernel: dst-broadcast +
     LayerNorm halves + ReLU + second Dense + per-head logits (HeadSum
     trick) + masked softmax over K + aggregation."""
     d = w2k_ref.shape[0]
-    tile_n = q_ref.shape[1]
+    tile_n = q_t.shape[0]
     e = tile_n * k_nb
     dh = d // heads
     f32 = jnp.float32
@@ -54,7 +54,7 @@ def _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
     # [E, C] == [TILE_N, K, C] for free) — no [E, TILE_N] one-hot matmul
     two_d = z.shape[-1]
     z = (z.reshape(tile_n, k_nb, two_d)
-         + tdst_ref[0][:, None, :]).reshape(e, two_d)
+         + tdst_t.astype(f32)[:, None, :]).reshape(e, two_d)
 
     def layer_norm(x, scale, bias):
         mu = jnp.mean(x, -1, keepdims=True)
@@ -71,7 +71,7 @@ def _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
                  preferred_element_type=f32) + b2v_ref[0][None, :])
     v = v * ew_ref[0].astype(f32)
 
-    qb = jnp.broadcast_to(q_ref[0][:, None, :].astype(f32),
+    qb = jnp.broadcast_to(q_t[:, None, :].astype(f32),
                           (tile_n, k_nb, d)).reshape(e, d)       # [E, D]
     li = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // dh
     lj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // dh
@@ -139,7 +139,7 @@ def _edge_attn2_kernel(tsn_ref, idx_ref, valid_ref, ea_ref, ew_ref,
                      preferred_element_type=f32)
         z = z + ea[:, c:c + 1].astype(f32) * zc
 
-    _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
+    _attn_tail(z, valid_ref, ew_ref, relx, q_ref[0], tdst_ref[0], ln_ref,
                w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref,
                mode=mode, k_nb=k_nb, heads=heads)
 
@@ -191,7 +191,7 @@ def _edge_attn_kernel(payload_ref, idx_ref, valid_ref, ea_ref, ew_ref,
         z = z + ea[:, c:c + 1].astype(f32) * zc
     z = z + jnp.dot(hs, ws_ref[:], preferred_element_type=f32)
 
-    _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
+    _attn_tail(z, valid_ref, ew_ref, relx, q_ref[0], tdst_ref[0], ln_ref,
                w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref,
                mode=mode, k_nb=k_nb, heads=heads)
 
@@ -221,7 +221,7 @@ def _edge_attn_pre3_kernel(tsrc_ref, valid_ref, ea_ref, ew_ref, relx_ref,
                      preferred_element_type=f32)
         z = z + ea[:, c:c + 1].astype(f32) * zc
 
-    _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
+    _attn_tail(z, valid_ref, ew_ref, relx, q_ref[0], tdst_ref[0], ln_ref,
                w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref,
                mode=mode, k_nb=k_nb, heads=heads)
 
@@ -241,8 +241,8 @@ def _edge_attn_pre4_kernel(hnb_ref, ef_ref, valid_ref, ew_ref, relx_ref,
                     preferred_element_type=f32)
 
     _attn_tail(z, valid_ref, ew_ref, relx_ref[0][:, :3].astype(f32),
-               q_ref, tdst_ref, ln_ref, w2k_ref, b2k_ref, w2v_ref, b2v_ref,
-               out_ref, mode=mode, k_nb=k_nb, heads=heads)
+               q_ref[0], tdst_ref[0], ln_ref, w2k_ref, b2k_ref, w2v_ref,
+               b2v_ref, out_ref, mode=mode, k_nb=k_nb, heads=heads)
 
 
 def _edge_attn_pre5_kernel(hn_ref, idx_ref, ef_ref, valid_ref, ew_ref,
@@ -268,8 +268,8 @@ def _edge_attn_pre5_kernel(hn_ref, idx_ref, ef_ref, valid_ref, ew_ref,
                     preferred_element_type=f32)
 
     _attn_tail(z, valid_ref, ew_ref, relx_ref[0][:, :3].astype(f32),
-               q_ref, tdst_ref, ln_ref, w2k_ref, b2k_ref, w2v_ref, b2v_ref,
-               out_ref, mode=mode, k_nb=k_nb, heads=heads)
+               q_ref[0], tdst_ref[0], ln_ref, w2k_ref, b2k_ref, w2v_ref,
+               b2v_ref, out_ref, mode=mode, k_nb=k_nb, heads=heads)
 
 
 def _edge_attn_pre6_kernel(hn_ref, pos9_ref, post_ref, idx_ref, cls_ref,
@@ -314,9 +314,37 @@ def _edge_attn_pre6_kernel(hn_ref, pos9_ref, post_ref, idx_ref, cls_ref,
     z = jnp.dot(hnb, ws_ref[:], preferred_element_type=f32)
     z = z + jnp.dot(ef, we_ref[:], preferred_element_type=f32)
 
-    _attn_tail(z, valid_ref, ew_ref, relx, q_ref, tdst_ref, ln_ref,
+    _attn_tail(z, valid_ref, ew_ref, relx, q_ref[0], tdst_ref[0], ln_ref,
                w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref,
                mode=mode, k_nb=k_nb, heads=heads)
+
+
+def _edge_attn_pre7_kernel(hn_ref, ht_ref, idx_ref, ef_ref, valid_ref,
+                           ew_ref, relx_ref, q_ref, wd_ref, bd_ref, ws_ref,
+                           we_ref, ln_ref, w2k_ref, b2k_ref, w2v_ref,
+                           b2v_ref, out_ref, *, mode: str, n_src: int,
+                           k_nb: int, heads: int):
+    """pre7 = pre5 + the node-level dst projection computed HERE from the
+    tile's own h rows (t_dst was a [B,N,2D] f32 input = 67 MB of HBM per
+    call; wd is a [D,2D] weight) and a bf16 q input (halves another
+    33 MB). The tile matmul [TILE,D]@[D,2D] is tiny MXU work."""
+    f32 = jnp.float32
+    e = q_ref.shape[1] * k_nb
+
+    idx = idx_ref[0]                                     # [E, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (e, n_src), 1)
+    oh = (idx == cols).astype(jnp.bfloat16)              # [E, N]
+    hnb = jnp.dot(oh, hn_ref[0],
+                  preferred_element_type=f32).astype(jnp.bfloat16)
+    z = jnp.dot(hnb, ws_ref[:], preferred_element_type=f32)
+    z = z + jnp.dot(ef_ref[0].astype(jnp.bfloat16), we_ref[:],
+                    preferred_element_type=f32)
+    td = (jnp.dot(ht_ref[0], wd_ref[:], preferred_element_type=f32)
+          + bd_ref[0][None, :])                          # [TILE, 2D]
+
+    _attn_tail(z, valid_ref, ew_ref, relx_ref[0][:, :3].astype(f32),
+               q_ref[0], td, ln_ref, w2k_ref, b2k_ref, w2v_ref, b2v_ref,
+               out_ref, mode=mode, k_nb=k_nb, heads=heads)
 
 
 def _edge_attn_pre_kernel(tsrc_ref, ef_ref, valid_ref, ew_ref, relx_ref,
@@ -339,8 +367,8 @@ def _edge_attn_pre_kernel(tsrc_ref, ef_ref, valid_ref, ew_ref, relx_ref,
                     preferred_element_type=f32)
 
     _attn_tail(z, valid_ref, ew_ref, relx_ref[0][:, :3].astype(f32),
-               q_ref, tdst_ref, ln_ref, w2k_ref, b2k_ref, w2v_ref, b2v_ref,
-               out_ref, mode=mode, k_nb=k_nb, heads=heads)
+               q_ref[0], tdst_ref[0], ln_ref, w2k_ref, b2k_ref, w2v_ref,
+               b2v_ref, out_ref, mode=mode, k_nb=k_nb, heads=heads)
 
 
 @functools.partial(
@@ -590,6 +618,95 @@ def _edge_attention_pre4_call(h_nb, edge_feat, valid, e_w, rel_x, q, t_dst,
         interpret=interpret,
     )(hnb_f, ef_f, valid_f, ew_f, relx_f,
       q.astype(jnp.float32), t_dst.astype(jnp.float32),
+      w["ws"].astype(jnp.bfloat16), w["we"].astype(jnp.bfloat16),
+      w["ln"].astype(jnp.float32),
+      w["w2k"].astype(jnp.bfloat16),
+      w["b2k"].reshape(1, -1).astype(jnp.float32),
+      w["w2v"].astype(jnp.bfloat16),
+      w["b2v"].reshape(1, -1).astype(jnp.float32))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "tile_n", "heads", "interpret"))
+def edge_attention_pre7(h_node, idx, edge_feat, valid, e_w, rel_x, q,
+                        weights: Dict[str, jnp.ndarray], mode: str = "x2h",
+                        tile_n: int = 64, heads: int = 16,
+                        interpret: bool = False):
+    """pre5 + in-kernel dst projection + bf16 q (see _edge_attn_pre7_kernel).
+
+    weights: pre4 set + wd [D,2D] bd [2D] (the dst Dense). Forward-only."""
+    b, n = q.shape[0], q.shape[1]
+    d = q.shape[-1]
+    k_nb = idx.shape[-1]
+    r = n * k_nb
+    vout = weights["w2v"].shape[1]
+    ef_dim = edge_feat.shape[-1]
+
+    interpret = interpret or not edge_attn_available()
+    while n % tile_n != 0:
+        tile_n //= 2
+        if tile_n < 1:
+            raise ValueError(f"node count {n} has no power-of-two tiling")
+    e = tile_n * k_nb
+
+    idx_f = idx.reshape(b, r, 1).astype(jnp.int32)
+    ef_f = edge_feat.reshape(b, r, ef_dim).astype(jnp.bfloat16)
+    valid_f = valid.reshape(b, r, 1).astype(jnp.bfloat16)
+    ew_f = e_w.reshape(b, r, 1).astype(jnp.bfloat16)
+    relx_f = rel_x.reshape(b, r, 3).astype(jnp.float32)
+
+    out_d = d if mode == "x2h" else 3
+    grid = (b, n // tile_n)
+
+    def edge_spec(c):
+        return pl.BlockSpec((1, e, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def node_spec(nn_, c):
+        return pl.BlockSpec((1, nn_, c), lambda bi, ti: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(c):
+        return pl.BlockSpec((1, tile_n, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi, ti: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    w = weights
+    hb = h_node.astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        functools.partial(_edge_attn_pre7_kernel, mode=mode, n_src=n,
+                          k_nb=k_nb, heads=heads),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            node_spec(n, d), tile_spec(d),
+            edge_spec(1), edge_spec(ef_dim), edge_spec(1), edge_spec(1),
+            edge_spec(3),
+            tile_spec(d),
+            w_spec((d, 2 * d)), w_spec((1, 2 * d)),
+            w_spec((d, 2 * d)), w_spec((ef_dim, 2 * d)), w_spec((4, d)),
+            w_spec((d, d)), w_spec((1, d)),
+            w_spec((d, vout)), w_spec((1, vout)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, out_d),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * (n * d + d * 2 * d + ef_dim * 2 * d
+                               + d * d + d * vout),
+            bytes_accessed=b * (n * d * 2 + r * (ef_dim * 2 + 20)),
+            transcendentals=b * r * d),
+        interpret=interpret,
+    )(hb, hb, idx_f, ef_f, valid_f, ew_f, relx_f,
+      q.astype(jnp.bfloat16),
+      w["wd"].astype(jnp.bfloat16),
+      w["bd"].reshape(1, -1).astype(jnp.float32),
       w["ws"].astype(jnp.bfloat16), w["we"].astype(jnp.bfloat16),
       w["ln"].astype(jnp.float32),
       w["w2k"].astype(jnp.bfloat16),
