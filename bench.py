@@ -41,7 +41,9 @@ LIG_CAP = 64
 REC_CAP = 448
 T = 1000
 N_REP = 3
-CHUNK = 100
+CHUNK = 250  # 250 x ~23 ms = ~6 s per execution, 10x under the 60 s budget;
+             # chunk boundaries cost ~375 ms each on the remote tunnel (measured:
+             # 26.8 ms/step at CHUNK=100 vs 23.05 in-program)
 
 # Generous single-chip dense-bf16 ceiling (v6e ~918 TFLOP/s is the largest
 # current chip); sustained throughput above this means the timer lied.

@@ -236,7 +236,7 @@ def _sample_chunk(model: D3FG, params, batch, carry, t_arr, s_arr,
     return carry
 
 
-def sample_d3fg(model: D3FG, params, batch, rng, chunk_size: int = 100,
+def sample_d3fg(model: D3FG, params, batch, rng, chunk_size: int = 250,
                 num_steps=None):
     """num_steps < num_timesteps runs a strided fast-sampling ladder."""
     from .targetdiff import sample_timesteps

@@ -285,7 +285,7 @@ def _sample_chunk(model: DiffBP, params, batch, carry, t_arr, s_arr,
     return carry
 
 
-def sample_diffbp(model: DiffBP, params, batch, rng, chunk_size: int = 100,
+def sample_diffbp(model: DiffBP, params, batch, rng, chunk_size: int = 250,
                   impl: str = "auto", num_steps=None):
     """Absorbing-type prior: all generated types start at the absorbing
     class (reference config assign_atomtype distribution=absorbing).

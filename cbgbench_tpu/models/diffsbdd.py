@@ -217,7 +217,7 @@ def _sample_chunk(model: DiffSBDD, params, batch, carry, t_arr, s_arr):
 
 
 def sample_diffsbdd(model: DiffSBDD, params, batch, rng,
-                    chunk_size: int = 100, impl: str = "auto",
+                    chunk_size: int = 250, impl: str = "auto",
                     num_steps=None):
     """Prior: positions ~ N(pocket-CoM, I) projected CoM-free; types ~
     N(0, I) in the /4-normalized one-hot space

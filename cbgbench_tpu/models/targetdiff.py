@@ -282,7 +282,7 @@ def sample_timesteps(total: int, num_steps=None) -> np.ndarray:
 
 
 def sample_targetdiff(model: TargetDiff, params, batch, rng,
-                      chunk_size: int = 100, impl: str = "auto",
+                      chunk_size: int = 250, impl: str = "auto",
                       traj_stride: int = 0, num_steps=None,
                       eta: float = 1.0):
     """Reverse diffusion, host-chunked.
