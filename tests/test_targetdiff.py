@@ -196,19 +196,17 @@ def test_nonfinite_batch_skips_update(setup):
 
 
 def test_resolve_impl_bucket_crossover(monkeypatch):
-    """impl='auto' picks the hybrid pallas_pre below 640 composed nodes and
-    the fully fused pallas kernel from 640 up (measured v5e crossover);
-    falls back to the model's own impl when kernels are unavailable."""
+    """impl='auto' picks pallas_pre5 at every bucket (round-3 ladder:
+    pre5 won all measured sizes — BASELINE.md); falls back to the model's
+    own impl when kernels are unavailable."""
     from cbgbench_tpu.models import targetdiff as td
     model = TargetDiff(**TINY)
 
     monkeypatch.setattr(td, "edge_attn_available", None, raising=False)
     import cbgbench_tpu.ops.pallas_edge_attn as pea
     monkeypatch.setattr(pea, "edge_attn_available", lambda: True)
-    assert td._resolve_impl(model, "auto", 512).impl == "pallas_pre"
-    assert td._resolve_impl(model, "auto", 639).impl == "pallas_pre"
-    assert td._resolve_impl(model, "auto", 640).impl == "pallas"
-    assert td._resolve_impl(model, "auto", 1024).impl == "pallas"
+    for n in (512, 639, 640, 1024):
+        assert td._resolve_impl(model, "auto", n).impl == "pallas_pre5"
 
     monkeypatch.setattr(pea, "edge_attn_available", lambda: False)
     assert td._resolve_impl(model, "auto", 1024).impl == model.impl
