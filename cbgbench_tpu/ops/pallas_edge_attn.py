@@ -887,6 +887,10 @@ def edge_attention_pre5(h_node, idx, edge_feat, valid, e_w, rel_x, q, t_dst,
                                + d * d + d * vout),
             bytes_accessed=b * (n * d * 2 + r * (ef_dim * 2 + 20)),
             transcendentals=b * r * d),
+        compiler_params=pltpu.CompilerParams(
+            # both grid dims are embarrassingly parallel (disjoint output
+            # tiles) — lets Mosaic pipeline DMA across programs
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(h_node.astype(jnp.bfloat16), idx_f, ef_f, valid_f, ew_f, relx_f,
       q.astype(jnp.float32), t_dst.astype(jnp.float32),
