@@ -63,11 +63,18 @@ def _evaluate_pocket(args) -> dict:
            "pocket_gen_counts": np.zeros(len(INTERACTION_TYPES)),
            "pocket_n": 0, "ref_inter": None,
            "vina_rows": defaultdict(list), "vina_imp": defaultdict(list),
-           "vina_delta": defaultdict(list), "vina_ligeff": []}
+           "vina_delta": defaultdict(list), "vina_ligeff": [],
+           "vina_native": [], "vina_native_imp": [],
+           "vina_native_delta": []}
     sdfs = sorted(glob.glob(os.path.join(pd, "*.sdf")))
-    p_atoms = None
+    p_atoms = rec_typing = None
     if protein_pdb and os.path.exists(protein_pdb):
         p_atoms, _ = parse_pdb_pocket(protein_pdb)
+        try:
+            from ..tools.vina_native import typing_from_pocket
+            rec_typing = typing_from_pocket(p_atoms)
+        except Exception:
+            rec_typing = None
     ref_mol = None
     if ref_sdf and os.path.exists(ref_sdf):
         refs = read_sdf(ref_sdf)
@@ -83,6 +90,14 @@ def _evaluate_pocket(args) -> dict:
         if vina_ready:
             ref_vina = _vina_all_modes(ref_mol, protein_pdb,
                                        ref_mol.pos.mean(0).tolist())
+    ref_native = None
+    if ref_mol is not None and rec_typing is not None:
+        try:
+            from ..tools.vina_native import score_only as vina_score_native
+            ref_native = vina_score_native(ref_mol, p_atoms.pos,
+                                           rec_typing)["affinity"]
+        except Exception:
+            ref_native = None
     for f in sdfs:
         mols = read_sdf(f)
         if not mols:
@@ -107,6 +122,19 @@ def _evaluate_pocket(args) -> dict:
                     out["vina_delta"][mode].append(float(aff < raff))
                 if mode == "dock":
                     out["vina_ligeff"].append(aff / max(mol.num_atoms, 1))
+        if rec_typing is not None:
+            # native score-only affinity: always computable (no binary);
+            # reported separately, flagged approximate
+            try:
+                from ..tools.vina_native import score_only as _vsn
+                aff = _vsn(mol, p_atoms.pos, rec_typing)["affinity"]
+                out["vina_native"].append(aff)
+                if ref_native is not None and ref_native < 0:
+                    out["vina_native_imp"].append(
+                        (aff - ref_native) / ref_native)
+                    out["vina_native_delta"].append(float(aff < ref_native))
+            except Exception:
+                pass
         if p_atoms is not None:
             try:
                 clash, info = eval_steric_clash(mol, p_atoms.pos,
@@ -198,6 +226,7 @@ def evaluate_folder(result_root: str, num_samples: int = None,
     vina_imp = defaultdict(list)       # mode -> (gen - ref)/ref
     vina_delta = defaultdict(list)     # mode -> gen < ref indicator
     vina_ligeff = []
+    vina_native_rows, vina_native_imp, vina_native_delta = [], [], []
     n_total_slots = 0
     for pd in pocket_dirs:
         head = os.path.basename(pd).split("_", 1)[0]
@@ -214,6 +243,9 @@ def evaluate_folder(result_root: str, num_samples: int = None,
             for mode, vals in res[key].items():
                 agg[mode].extend(vals)
         vina_ligeff.extend(res["vina_ligeff"])
+        vina_native_rows.extend(res.get("vina_native", []))
+        vina_native_imp.extend(res.get("vina_native_imp", []))
+        vina_native_delta.extend(res.get("vina_native_delta", []))
         # per-pocket interaction JSD/MAE vs the reference ligand
         # (reference: cal_intera_results.py:26-47)
         if res["ref_inter"] is not None and res["pocket_n"] > 0:
@@ -288,6 +320,16 @@ def evaluate_folder(result_root: str, num_samples: int = None,
     report["vina_lig_efficiency_mean"] = (
         float(np.mean(vina_ligeff)) if vina_ligeff else None)
     report["vina_available"] = bool(vina_ready)
+    # native score-only (no binary needed): the published 5-term function
+    # + rotor penalty over our own typing — honest approximate flag
+    report["vina_score_only_native_mean"] = (
+        float(np.mean(vina_native_rows)) if vina_native_rows else None)
+    report["vina_native_improvement_pct"] = (
+        float(np.mean(vina_native_imp) * 100) if vina_native_imp else None)
+    report["vina_native_delta_binding_pct"] = (
+        float(np.mean(vina_native_delta) * 100)
+        if vina_native_delta else None)
+    report["vina_native_approximate"] = True
     return report
 
 
