@@ -276,14 +276,15 @@ class X2HAttnFused(_EdgeAttnBase):
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
                 mode="x2h", heads=self.n_heads)
             out = out.astype(h.dtype)
-        elif self.impl == "pallas_pre5":
+        elif self.impl in ("pallas_pre5", "pallas_pre8"):
             from ..ops.pallas_edge_attn import edge_attention_pre5
             ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
                                                       jnp.float32)
             out = edge_attention_pre5(
                 h.astype(jnp.bfloat16), idx, edge_feat, valid, ew,
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
-                mode="x2h", heads=self.n_heads)
+                mode="x2h", heads=self.n_heads,
+                variant=self.impl.removeprefix("pallas_"))
             out = out.astype(h.dtype)
         elif self.impl == "pallas_pre6":
             from ..ops.pallas_edge_attn import edge_attention_pre6
@@ -378,14 +379,16 @@ class H2XAttnFused(_EdgeAttnBase):
                 self._h_gathered(p, h, idx), edge_feat, valid, ew,
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
                 mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
-        if self.impl == "pallas_pre5":
+        if self.impl in ("pallas_pre5", "pallas_pre8"):
             from ..ops.pallas_edge_attn import edge_attention_pre5
             ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(
                 valid.shape + (1,), jnp.float32)
             return edge_attention_pre5(
                 h.astype(jnp.bfloat16), idx, edge_feat, valid, ew,
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
-                mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
+                mode="h2x", heads=self.n_heads,
+                variant=self.impl.removeprefix("pallas_")).astype(
+                    rel_x.dtype)
         if self.impl == "pallas_pre6":
             from ..ops.pallas_edge_attn import edge_attention_pre6
             ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(

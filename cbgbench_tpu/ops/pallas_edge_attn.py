@@ -272,6 +272,64 @@ def _edge_attn_pre5_kernel(hn_ref, idx_ref, ef_ref, valid_ref, ew_ref,
                b2v_ref, out_ref, mode=mode, k_nb=k_nb, heads=heads)
 
 
+def _gather_grouped(idx, hn_ref, e, n_src):
+    """In-VMEM neighbor gather via a hi/lo index split: one [E, 128]
+    lane-iota compare + per-group [E,1] masks replace the full [E, N]
+    int32 iota compare of the pre5 kernel.
+
+    The pre5 one-hot build is the kernel's single largest VPU cost
+    (~[E, N] int32 iota + compare + select = ~3x N/128 vreg passes); here
+    the lane-iota is one 128-wide constant, the lo compare touches [E,128]
+    once, and each group costs one [E,128] bf16 mask-multiply + one
+    [E,128]@[128,D] MXU matmul (same total MACs as the single wide
+    matmul). VPU work drops from O(E*N) to O(E*128 + E*groups)."""
+    f32 = jnp.float32
+    lo = jax.lax.bitwise_and(idx, 127)                   # [E, 1]
+    hi = jax.lax.shift_right_logical(idx, 7)             # [E, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (e, 128), 1)
+    lo_oh = (lo == cols).astype(jnp.bfloat16)            # [E, 128]
+    d = hn_ref.shape[-1]
+    hs = jnp.zeros((e, d), f32)
+    n_groups = (n_src + 127) // 128
+    for g in range(n_groups):
+        sel = (hi == g).astype(jnp.bfloat16)             # [E, 1]
+        ohg = lo_oh * sel                                # [E, 128]
+        chunk = min(128, n_src - g * 128)
+        if chunk < 128:
+            ohg = ohg[:, :chunk]
+        hs = hs + jnp.dot(ohg, hn_ref[0, g * 128:g * 128 + chunk, :],
+                          preferred_element_type=f32)
+    return hs
+
+
+def _edge_attn_pre8_kernel(hn_ref, idx_ref, ef_ref, valid_ref, ew_ref,
+                           relx_ref, q_ref, tdst_ref, ws_ref, we_ref,
+                           ln_ref, w2k_ref, b2k_ref, w2v_ref, b2v_ref,
+                           out_ref, *, mode: str, n_src: int, k_nb: int,
+                           heads: int):
+    """pre8: pre5 with the in-VMEM one-hot gather restructured as a
+    grouped (hi/lo split) gather — same math, intended ~4x less VPU work
+    in the one-hot build at N=512 (see _gather_grouped).
+
+    MEASURED NEGATIVE (v5e, [16,512,32,128]): 27.66 ms vs pre5's 23.14 —
+    the N/128 dependent-accumulation matmul chain serializes on the MXU
+    where pre5's single wide [E,N]@[N,D] pipelines, and the per-group
+    [E,1]->[E,128] mask broadcasts are VPU passes the wide iota compare
+    never paid. Kept as a documented negative; pre5 stays the champion."""
+    f32 = jnp.float32
+    e = q_ref.shape[1] * k_nb
+
+    hs = _gather_grouped(idx_ref[0], hn_ref, e, n_src)
+    z = jnp.dot(hs.astype(jnp.bfloat16), ws_ref[:],
+                preferred_element_type=f32)
+    z = z + jnp.dot(ef_ref[0].astype(jnp.bfloat16), we_ref[:],
+                    preferred_element_type=f32)
+
+    _attn_tail(z, valid_ref, ew_ref, relx_ref[0][:, :3].astype(f32),
+               q_ref[0], tdst_ref[0], ln_ref, w2k_ref, b2k_ref, w2v_ref,
+               b2v_ref, out_ref, mode=mode, k_nb=k_nb, heads=heads)
+
+
 def _edge_attn_pre6_kernel(hn_ref, pos9_ref, post_ref, idx_ref, cls_ref,
                            valid_ref, ew_ref, q_ref, tdst_ref, offs_ref,
                            ws_ref, we_ref, ln_ref, w2k_ref, b2k_ref,
@@ -815,15 +873,19 @@ def edge_attention_pre6(h_node, pos, idx, cls, valid, e_w, q, t_dst,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "tile_n", "heads", "interpret"))
+    static_argnames=("mode", "tile_n", "heads", "interpret", "variant"))
 def edge_attention_pre5(h_node, idx, edge_feat, valid, e_w, rel_x, q, t_dst,
                         weights: Dict[str, jnp.ndarray], mode: str = "x2h",
                         tile_n: int = 64, heads: int = 16,
-                        interpret: bool = False):
+                        interpret: bool = False, variant: str = "pre5"):
     """pre4 with the neighbor gather in-kernel (see _edge_attn_pre5_kernel).
 
     h_node [B,N,D] bf16 node features; idx [B,N,K] int32; the rest as
-    edge_attention_pre4. Forward-only (sampling path)."""
+    edge_attention_pre4. Forward-only (sampling path).
+
+    variant="pre8" selects the grouped hi/lo-split gather kernel
+    (_edge_attn_pre8_kernel) — identical inputs/outputs, less VPU work
+    in the one-hot build."""
     b, n = q.shape[0], q.shape[1]
     d = q.shape[-1]
     k_nb = idx.shape[-1]
@@ -865,8 +927,10 @@ def edge_attention_pre5(h_node, idx, edge_feat, valid, e_w, rel_x, q, t_dst,
                             memory_space=pltpu.VMEM)
 
     w = weights
+    kern = {"pre5": _edge_attn_pre5_kernel,
+            "pre8": _edge_attn_pre8_kernel}[variant]
     out = pl.pallas_call(
-        functools.partial(_edge_attn_pre5_kernel, mode=mode, n_src=n,
+        functools.partial(kern, mode=mode, n_src=n,
                           k_nb=k_nb, heads=heads),
         out_shape=jax.ShapeDtypeStruct((b, n, out_d), jnp.float32),
         grid=grid,
