@@ -4,3 +4,4 @@ from .mol2 import read_mol2, read_ligand  # noqa: F401
 from .pdb import parse_pdb_pocket  # noqa: F401
 from .bonds import perceive_bonds  # noqa: F401
 from .reconstruct import reconstruct_molecule, evaluate_validity  # noqa: F401
+from .project import project_stable_pose  # noqa: F401

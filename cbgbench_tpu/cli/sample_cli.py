@@ -161,6 +161,10 @@ def main(argv=None):
                         "force heads N times to each grown pose "
                         "(extension; the reference trains but never "
                         "applies them)")
+    p.add_argument("--project_stable", action="store_true",
+                   help="project reconstructed poses onto the stability "
+                        "distance tables (valence-aware bond-length "
+                        "projection, chem/project.py) before writing SDFs")
     p.add_argument("--refine_clash", type=float, default=0.0,
                    help="FLAG: steric-repulsion step size added to each "
                         "refine iteration (parameter-free physics term; "
@@ -174,7 +178,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
-    from ..chem import evaluate_validity, reconstruct_molecule, write_sdf
+    from ..chem import (evaluate_validity, project_stable_pose,
+                        reconstruct_molecule, write_sdf)
     from ..data.dataset import RawPairDataset, repeat_for_sampling
     from ..data.transforms import compose
     from ..models import get_model, sample_time
@@ -306,6 +311,8 @@ def main(argv=None):
                     except Exception:
                         ok = False
                     if ok:
+                        if args.project_stable:
+                            frag = project_stable_pose(frag)
                         write_sdf(os.path.join(out_dir, f"{n_valid}.sdf"),
                                   frag)
                         mols.append(frag)
@@ -336,6 +343,8 @@ def main(argv=None):
                 except Exception:
                     ok = False
                 if ok:
+                    if args.project_stable:
+                        frag = project_stable_pose(frag)
                     write_sdf(os.path.join(out_dir, f"{n_valid}.sdf"), frag)
                     mols.append(frag)
                     n_valid += 1
