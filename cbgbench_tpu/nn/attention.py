@@ -276,7 +276,7 @@ class X2HAttnFused(_EdgeAttnBase):
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
                 mode="x2h", heads=self.n_heads)
             out = out.astype(h.dtype)
-        elif self.impl in ("pallas_pre5", "pallas_pre8"):
+        elif self.impl in ("pallas_pre5", "pallas_pre8", "pallas_pre9"):
             from ..ops.pallas_edge_attn import edge_attention_pre5
             ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
                                                       jnp.float32)
@@ -379,7 +379,7 @@ class H2XAttnFused(_EdgeAttnBase):
                 self._h_gathered(p, h, idx), edge_feat, valid, ew,
                 rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
                 mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
-        if self.impl in ("pallas_pre5", "pallas_pre8"):
+        if self.impl in ("pallas_pre5", "pallas_pre8", "pallas_pre9"):
             from ..ops.pallas_edge_attn import edge_attention_pre5
             ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(
                 valid.shape + (1,), jnp.float32)

@@ -90,7 +90,7 @@ class E3DualAttentionLayer(nn.Module):
             h_src = h_src2 = None
             edge_feat = None
         elif self.impl in ("pallas_pre", "pallas_pre4", "pallas_pre5",
-                           "pallas_pre7", "pallas_pre8"):
+                           "pallas_pre7", "pallas_pre8", "pallas_pre9"):
             # hybrid: XLA gathers projections at MXU peak, the kernel
             # fuses the rest; edge features shared across both attentions
             x_src = gather_neighbors(x, idx)
@@ -136,7 +136,8 @@ class E3DualAttentionLayer(nn.Module):
             if self.impl not in ("pallas", "pallas_pre", "pallas2",
                                  "pallas_pre3", "pallas_pre4",
                                  "pallas_pre5", "pallas_pre6",
-                                 "pallas_pre7", "pallas_pre8"):
+                                 "pallas_pre7", "pallas_pre8",
+                                 "pallas_pre9"):
                 (h_src2,) = smart_gather([h_out.astype(gdt)], idx,
                                          method=self.gather_method)
                 h_src2 = h_src2.astype(h.dtype)

@@ -107,6 +107,119 @@ def _attn_tail(z, valid_ref, ew_ref, relx, q_t, tdst_t, ln_ref,
         out_ref[0] = jnp.sum(coeff * r3, axis=1)         # [T, 3]
 
 
+def _attn_tail2(z, valid_ref, ew_ref, relx, q_t, tdst_t, ln_ref,
+                w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref, *,
+                mode: str, k_nb: int, heads: int):
+    """Hand-scheduled tail v2 (the VPU-bound LN/softmax chains are the
+    measured residual of the pre5 kernel — BASELINE.md round-3 ladder):
+
+      * LayerNorm moments in one pass (var = E[x^2] - mu^2): one fewer
+        [E, D] f32 sweep per LN; activations are O(10) post-matmul so the
+        cancellation form is safe in f32.
+      * softmax division deferred out of the [T, K, D] domain: compute
+        the [T, 1, D] reciprocal once and scale the K-reduced outputs —
+        replaces a K-wide multi-cycle divide with one rcp + multiplies.
+      * exp in bf16 (inputs are <= 0 after max-subtraction; bf16 relative
+        error ~0.4% on [0, 1] outputs, inside the 2e-2 kernel-equivalence
+        budget) with f32 numerator accumulation.
+
+    MEASURED FLAT (v5e, [16,512,32,128]): 23.44 ms vs pre5's 23.21 —
+    and the round-4 kernel decomposition (scripts/probe_kernel_split.py)
+    explains why: the whole tail costs only ~0.2 ms of the 1.06 ms x2h
+    call; ~0.7 ms is compute-insensitive (input-block DMA + per-program
+    overhead). The r3 "VPU-bound LN/softmax tail" residual theory is
+    retired; the lever is fewer/bigger programs and leaner input blocks,
+    not tail micro-scheduling.
+    """
+    d = w2k_ref.shape[0]
+    tile_n = q_t.shape[0]
+    e = tile_n * k_nb
+    dh = d // heads
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    two_d = z.shape[-1]
+    z = (z.reshape(tile_n, k_nb, two_d)
+         + tdst_t.astype(f32)[:, None, :]).reshape(e, two_d)
+
+    def layer_norm1(x, scale, bias):
+        mu = jnp.mean(x, -1, keepdims=True)
+        ms = jnp.mean(x * x, -1, keepdims=True)
+        rs = jax.lax.rsqrt(jnp.maximum(ms - mu * mu, 0.0) + 1e-6)
+        return (x - mu) * rs * scale + bias
+
+    zk, zv = z[:, :d], z[:, d:]
+    ln = ln_ref[:].astype(f32)                           # [4, D]
+    k = jnp.maximum(layer_norm1(zk, ln[0:1, :], ln[1:2, :]), 0.0)
+    v = jnp.maximum(layer_norm1(zv, ln[2:3, :], ln[3:4, :]), 0.0)
+    k = (jnp.dot(k.astype(bf16), w2k_ref[:],
+                 preferred_element_type=f32) + b2k_ref[0][None, :])
+    v = (jnp.dot(v.astype(bf16), w2v_ref[:],
+                 preferred_element_type=f32) + b2v_ref[0][None, :])
+    v = v * ew_ref[0].astype(f32)
+
+    qb = jnp.broadcast_to(q_t[:, None, :].astype(f32),
+                          (tile_n, k_nb, d)).reshape(e, d)       # [E, D]
+    li = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // dh
+    lj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // dh
+    head_sum = jnp.where(li == lj, 1.0 / np.sqrt(dh), 0.0
+                         ).astype(bf16)                  # [D, D]
+    logits = jnp.dot((qb * k).astype(bf16), head_sum,
+                     preferred_element_type=f32)         # [E, D]
+    valid = valid_ref[0].astype(f32)                     # [E, 1]
+    logits = logits + (valid - 1.0) * (-NEG)
+
+    l3 = logits.reshape(tile_n, k_nb, d)
+    v3m = valid.reshape(tile_n, k_nb, 1)
+    m = jnp.max(l3, axis=1, keepdims=True)
+    p = jnp.exp((l3 - m).astype(bf16)).astype(f32) * v3m
+    s = jnp.sum(p, axis=1)                               # [T, D]
+    rs = 1.0 / jnp.maximum(s, 1e-9)                      # [T, D]
+
+    if mode == "x2h":
+        num = jnp.sum(p * v.reshape(tile_n, k_nb, d), axis=1)
+        out_ref[0] = num * rs
+    else:
+        vout = v.shape[1]
+        rep = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 0)
+        tgt = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 1) // dh
+        expand = jnp.where(rep == tgt, 1.0, 0.0).astype(bf16)
+        v128 = jnp.dot(v.astype(bf16), expand,
+                       preferred_element_type=f32)       # [E, D]
+        # deferred division: alpha = p * rs, folded as (p * v128) summed
+        # over D per edge, then scaled by the per-(t, head) reciprocal —
+        # but rs varies per lane (head), so scale v128 by rs broadcast
+        # over K first ([T,1,D] -> [T,K,D] multiply replaces the divide)
+        w = p * (v128.reshape(tile_n, k_nb, d) * rs[:, None, :])
+        coeff = jnp.sum(w, axis=-1, keepdims=True) / (dh * heads)  # [T,K,1]
+        r3 = relx.reshape(tile_n, k_nb, 3)
+        out_ref[0] = jnp.sum(coeff * r3, axis=1)         # [T, 3]
+
+
+def _edge_attn_pre9_kernel(hn_ref, idx_ref, ef_ref, valid_ref, ew_ref,
+                           relx_ref, q_ref, tdst_ref, ws_ref, we_ref,
+                           ln_ref, w2k_ref, b2k_ref, w2v_ref, b2v_ref,
+                           out_ref, *, mode: str, n_src: int, k_nb: int,
+                           heads: int):
+    """pre9: pre5's edge phase (in-VMEM one-hot gather + src projection)
+    with the hand-scheduled tail v2 (_attn_tail2)."""
+    f32 = jnp.float32
+    e = q_ref.shape[1] * k_nb
+
+    idx = idx_ref[0]                                     # [E, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (e, n_src), 1)
+    oh = (idx == cols).astype(jnp.bfloat16)              # [E, N]
+    hnb = jnp.dot(oh, hn_ref[0],
+                  preferred_element_type=f32).astype(jnp.bfloat16)
+    z = jnp.dot(hnb, ws_ref[:], preferred_element_type=f32)
+    z = z + jnp.dot(ef_ref[0].astype(jnp.bfloat16), we_ref[:],
+                    preferred_element_type=f32)
+
+    _attn_tail2(z, valid_ref, ew_ref, relx_ref[0][:, :3].astype(f32),
+                q_ref[0], tdst_ref[0], ln_ref, w2k_ref, b2k_ref, w2v_ref,
+                b2v_ref, out_ref, mode=mode, k_nb=k_nb, heads=heads)
+
+
 def _edge_attn2_kernel(tsn_ref, idx_ref, valid_ref, ea_ref, ew_ref,
                        relx_ref, q_ref, tdst_ref, offs_ref,
                        wea_ref, web_ref, ln_ref, w2k_ref, b2k_ref,
@@ -928,7 +1041,8 @@ def edge_attention_pre5(h_node, idx, edge_feat, valid, e_w, rel_x, q, t_dst,
 
     w = weights
     kern = {"pre5": _edge_attn_pre5_kernel,
-            "pre8": _edge_attn_pre8_kernel}[variant]
+            "pre8": _edge_attn_pre8_kernel,
+            "pre9": _edge_attn_pre9_kernel}[variant]
     out = pl.pallas_call(
         functools.partial(kern, mode=mode, n_src=n,
                           k_nb=k_nb, heads=heads),

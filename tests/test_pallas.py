@@ -276,3 +276,14 @@ def test_edge_attn_pallas_pre8_matches_xla(uni_setup):
     assert float(jnp.abs(ho - hp).max()) < 2e-2
     assert float(jnp.abs(co - cp).max()) < 2e-2
     assert float(jnp.abs(hp).max()) > 0.1
+
+
+def test_edge_attn_pallas_pre9_matches_xla(uni_setup):
+    UniTransformer, kw, params, args = uni_setup
+    xo, ho, co = UniTransformer(impl="xla", **kw).apply(params, *args)
+    xp, hp, cp = UniTransformer(impl="pallas_pre9", **kw).apply(params,
+                                                                *args)
+    assert float(jnp.abs(xo - xp).max()) < 2e-2
+    assert float(jnp.abs(ho - hp).max()) < 2e-2
+    assert float(jnp.abs(co - cp).max()) < 2e-2
+    assert float(jnp.abs(hp).max()) > 0.1
