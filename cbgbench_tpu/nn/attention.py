@@ -286,6 +286,22 @@ class X2HAttnFused(_EdgeAttnBase):
                 mode="x2h", heads=self.n_heads,
                 variant=self.impl.removeprefix("pallas_"))
             out = out.astype(h.dtype)
+        elif self.impl == "pallas_pre10":
+            from ..ops.pallas_edge_attn import edge_attention_pre10
+            ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
+                                                      jnp.float32)
+            out = edge_attention_pre10(
+                h.astype(jnp.bfloat16), idx, edge_feat, valid, ew,
+                rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
+                mode="x2h", heads=self.n_heads)
+            out = out.astype(h.dtype)
+        elif self.impl == "pallas_pre11":
+            from ..ops.pallas_edge_attn import edge_attention_pre11
+            out = edge_attention_pre11(
+                h.astype(jnp.bfloat16), edge_feat, q, self._t_dst(p, h),
+                self._kernel_weights_pre4(p), mode="x2h",
+                heads=self.n_heads)
+            out = out.astype(h.dtype)
         elif self.impl == "pallas_pre6":
             from ..ops.pallas_edge_attn import edge_attention_pre6
             ew = e_w if e_w is not None else jnp.ones(valid.shape + (1,),
@@ -389,6 +405,20 @@ class H2XAttnFused(_EdgeAttnBase):
                 mode="h2x", heads=self.n_heads,
                 variant=self.impl.removeprefix("pallas_")).astype(
                     rel_x.dtype)
+        if self.impl == "pallas_pre10":
+            from ..ops.pallas_edge_attn import edge_attention_pre10
+            ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(
+                valid.shape + (1,), jnp.float32)
+            return edge_attention_pre10(
+                h.astype(jnp.bfloat16), idx, edge_feat, valid, ew,
+                rel_x, q, self._t_dst(p, h), self._kernel_weights_pre4(p),
+                mode="h2x", heads=self.n_heads).astype(rel_x.dtype)
+        if self.impl == "pallas_pre11":
+            from ..ops.pallas_edge_attn import edge_attention_pre11
+            return edge_attention_pre11(
+                h.astype(jnp.bfloat16), edge_feat, q, self._t_dst(p, h),
+                self._kernel_weights_pre4(p), mode="h2x",
+                heads=self.n_heads).astype(rel_x.dtype)
         if self.impl == "pallas_pre6":
             from ..ops.pallas_edge_attn import edge_attention_pre6
             ew = e_w if (self.ew_scale and e_w is not None) else jnp.ones(

@@ -89,8 +89,41 @@ class E3DualAttentionLayer(nn.Module):
             rel_x = x[..., :, None, :] - x_src
             h_src = h_src2 = None
             edge_feat = None
+        elif self.impl == "pallas_pre11":
+            # packed-lane hybrid: every narrow per-edge input (valid, ew,
+            # rel_x as a bf16 hi/lo double, idx as an exact hi/lo pair)
+            # rides spare lanes of the [B,N,K,84->94] edge-feature tensor
+            # built here anyway — each [B,E,c<128] kernel operand is
+            # lane-padded to 128 by the TPU tiled layout, so the pre5
+            # input set cost ~470 MB DMA/call carrying <40 MB of payload
+            # (measured: scripts/probe_kernel_split.py noop floor 0.84 ms
+            # of the 1.06 ms call). Appending lanes to the existing
+            # concat reuses its padded footprint for free.
+            x_src = gather_neighbors(x, idx)
+            rel_x = x[..., :, None, :] - x_src
+            rbf_table = GaussianSmearingTable(0.0, self.r_max,
+                                              self.num_r_gaussian)
+            dist = safe_norm(rel_x, axis=-1, keepdims=True)
+            rbf = rbf_table(dist)
+            bf16 = jnp.bfloat16
+            ew_lane = (e_w if use_ew and e_w is not None
+                       else jnp.ones(valid.shape + (1,), jnp.float32))
+            relf = rel_x.astype(jnp.float32)
+            rhi = relf.astype(bf16)
+            rlo = (relf - rhi.astype(jnp.float32)).astype(bf16)
+            idx32 = idx.astype(jnp.int32)
+            edge_feat = jnp.concatenate(
+                [edge_attr.astype(bf16),
+                 outer_product(edge_attr, rbf).astype(bf16),
+                 valid[..., None].astype(bf16),
+                 ew_lane.astype(bf16),
+                 rhi, rlo,
+                 (idx32 // 32).astype(bf16)[..., None],
+                 (idx32 % 32).astype(bf16)[..., None]], -1)
+            h_src = h_src2 = None
         elif self.impl in ("pallas_pre", "pallas_pre4", "pallas_pre5",
-                           "pallas_pre7", "pallas_pre8", "pallas_pre9"):
+                           "pallas_pre7", "pallas_pre8", "pallas_pre9",
+                           "pallas_pre10"):
             # hybrid: XLA gathers projections at MXU peak, the kernel
             # fuses the rest; edge features shared across both attentions
             x_src = gather_neighbors(x, idx)
@@ -137,7 +170,8 @@ class E3DualAttentionLayer(nn.Module):
                                  "pallas_pre3", "pallas_pre4",
                                  "pallas_pre5", "pallas_pre6",
                                  "pallas_pre7", "pallas_pre8",
-                                 "pallas_pre9"):
+                                 "pallas_pre9", "pallas_pre10",
+                                 "pallas_pre11"):
                 (h_src2,) = smart_gather([h_out.astype(gdt)], idx,
                                          method=self.gather_method)
                 h_src2 = h_src2.astype(h.dtype)

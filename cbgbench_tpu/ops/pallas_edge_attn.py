@@ -443,6 +443,115 @@ def _edge_attn_pre8_kernel(hn_ref, idx_ref, ef_ref, valid_ref, ew_ref,
                b2v_ref, out_ref, mode=mode, k_nb=k_nb, heads=heads)
 
 
+def _attn_tail_arrays(z, valid, ew, relx, q_t, tdst_t, ln_ref,
+                      w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref, *,
+                      mode: str, k_nb: int, heads: int):
+    """_attn_tail with valid/ew as in-register arrays (pre10 unpacks them
+    from the packed edge tensor instead of reading standalone refs)."""
+    d = w2k_ref.shape[0]
+    tile_n = q_t.shape[0]
+    e = tile_n * k_nb
+    dh = d // heads
+    f32 = jnp.float32
+
+    two_d = z.shape[-1]
+    z = (z.reshape(tile_n, k_nb, two_d)
+         + tdst_t.astype(f32)[:, None, :]).reshape(e, two_d)
+
+    def layer_norm(x, scale, bias):
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, -1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+
+    zk, zv = z[:, :d], z[:, d:]
+    ln = ln_ref[:].astype(f32)                           # [4, D]
+    k = jnp.maximum(layer_norm(zk, ln[0:1, :], ln[1:2, :]), 0.0)
+    v = jnp.maximum(layer_norm(zv, ln[2:3, :], ln[3:4, :]), 0.0)
+    k = (jnp.dot(k.astype(jnp.bfloat16), w2k_ref[:],
+                 preferred_element_type=f32) + b2k_ref[0][None, :])
+    v = (jnp.dot(v.astype(jnp.bfloat16), w2v_ref[:],
+                 preferred_element_type=f32) + b2v_ref[0][None, :])
+    v = v * ew.astype(f32)
+
+    qb = jnp.broadcast_to(q_t[:, None, :].astype(f32),
+                          (tile_n, k_nb, d)).reshape(e, d)       # [E, D]
+    li = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // dh
+    lj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // dh
+    head_sum = jnp.where(li == lj, 1.0 / np.sqrt(dh), 0.0
+                         ).astype(jnp.bfloat16)          # [D, D]
+    logits = jnp.dot((qb * k).astype(jnp.bfloat16), head_sum,
+                     preferred_element_type=f32)         # [E, D]
+    logits = logits + (valid - 1.0) * (-NEG)
+
+    l3 = logits.reshape(tile_n, k_nb, d)
+    v3m = valid.reshape(tile_n, k_nb, 1)
+    m = jnp.max(l3, axis=1, keepdims=True)
+    p = jnp.exp(l3 - m) * v3m
+    s = jnp.sum(p, axis=1, keepdims=True)
+    alpha = p / jnp.maximum(s, 1e-9)                     # [T, K, D]
+
+    if mode == "x2h":
+        out_ref[0] = jnp.sum(alpha * v.reshape(tile_n, k_nb, d), axis=1)
+    else:
+        vout = v.shape[1]
+        rep = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 0)
+        tgt = jax.lax.broadcasted_iota(jnp.int32, (vout, d), 1) // dh
+        expand = jnp.where(rep == tgt, 1.0, 0.0).astype(jnp.bfloat16)
+        v128 = jnp.dot(v.astype(jnp.bfloat16), expand,
+                       preferred_element_type=f32)       # [E, D]
+        w = alpha * v128.reshape(tile_n, k_nb, d)
+        coeff = jnp.sum(w, axis=-1, keepdims=True) / (dh * heads)  # [T,K,1]
+        r3 = relx.reshape(tile_n, k_nb, 3)
+        out_ref[0] = jnp.sum(coeff * r3, axis=1)         # [T, 3]
+
+
+# pre10 packed edge-tensor lane map (all narrow per-edge inputs ride ONE
+# [B, E, 94] bf16 array — every [B, E, c<128] operand is lane-padded to
+# 128 by the TPU tiled layout, so the pre5 input set (idx int32 134 MB +
+# relx f32 134 MB + valid/ew bf16 67 MB each at [16,512,32]) cost ~470 MB
+# of DMA per call while carrying <40 MB of payload; measured noop floor
+# 0.84 ms of the 1.06 ms call, scripts/probe_kernel_split.py)
+EP_EF = 84           # lanes 0-83: edge features
+EP_VALID = 84        # lane 84
+EP_EW = 85           # lane 85
+EP_RXH = 86          # lanes 86-88: rel_x bf16 high parts
+EP_RXL = 89          # lanes 89-91: rel_x bf16 low corrections
+EP_IHI = 92          # lane 92: idx // 32 (exact in bf16: < 32)
+EP_ILO = 93          # lane 93: idx % 32
+EP_LANES = 94
+
+
+def _edge_attn_pre10_kernel(hn_ref, ep_ref, q_ref, tdst_ref, ws_ref,
+                            we_ref, ln_ref, w2k_ref, b2k_ref, w2v_ref,
+                            b2v_ref, out_ref, *, mode: str, n_src: int,
+                            k_nb: int, heads: int):
+    """pre10: pre5 with every narrow per-edge input packed into one
+    [E, 94] bf16 block (see the EP_* lane map). idx rides as an exact
+    hi/lo bf16 pair, rel_x as a hi+lo bf16 double (16 effective mantissa
+    bits, ~1e-4 relative — well inside the kernel-equivalence budget)."""
+    f32 = jnp.float32
+    e = q_ref.shape[1] * k_nb
+
+    ep = ep_ref[0]                                       # [E, 94] bf16
+    idx = (ep[:, EP_IHI:EP_IHI + 1].astype(f32) * 32.0
+           + ep[:, EP_ILO:EP_ILO + 1].astype(f32)).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (e, n_src), 1)
+    oh = (idx == cols).astype(jnp.bfloat16)              # [E, N]
+    hnb = jnp.dot(oh, hn_ref[0],
+                  preferred_element_type=f32).astype(jnp.bfloat16)
+    z = jnp.dot(hnb, ws_ref[:], preferred_element_type=f32)
+    z = z + jnp.dot(ep[:, :EP_EF], we_ref[:], preferred_element_type=f32)
+
+    valid = ep[:, EP_VALID:EP_VALID + 1].astype(f32)
+    ew = ep[:, EP_EW:EP_EW + 1]
+    relx = (ep[:, EP_RXH:EP_RXH + 3].astype(f32)
+            + ep[:, EP_RXL:EP_RXL + 3].astype(f32))
+
+    _attn_tail_arrays(z, valid, ew, relx, q_ref[0], tdst_ref[0], ln_ref,
+                      w2k_ref, b2k_ref, w2v_ref, b2v_ref, out_ref,
+                      mode=mode, k_nb=k_nb, heads=heads)
+
+
 def _edge_attn_pre6_kernel(hn_ref, pos9_ref, post_ref, idx_ref, cls_ref,
                            valid_ref, ew_ref, q_ref, tdst_ref, offs_ref,
                            ws_ref, we_ref, ln_ref, w2k_ref, b2k_ref,
@@ -1078,6 +1187,191 @@ def edge_attention_pre5(h_node, idx, edge_feat, valid, e_w, rel_x, q, t_dst,
       w["b2k"].reshape(1, -1).astype(jnp.float32),
       w["w2v"].astype(jnp.bfloat16),
       w["b2v"].reshape(1, -1).astype(jnp.float32))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "tile_n", "heads", "interpret"))
+def edge_attention_pre10(h_node, idx, edge_feat, valid, e_w, rel_x, q,
+                         t_dst, weights: Dict[str, jnp.ndarray],
+                         mode: str = "x2h", tile_n: int = 64,
+                         heads: int = 16, interpret: bool = False):
+    """pre5 with all narrow per-edge inputs packed into one [B, E, 94]
+    bf16 tensor (_edge_attn_pre10_kernel). Same API as pre5; XLA CSEs the
+    pack across the two per-layer calls. Forward-only (sampling path)."""
+    b, n = q.shape[0], q.shape[1]
+    d = q.shape[-1]
+    k_nb = idx.shape[-1]
+    r = n * k_nb
+    vout = weights["w2v"].shape[1]
+    ef_dim = edge_feat.shape[-1]
+    if ef_dim != EP_EF:
+        raise ValueError(f"pre10 packs {EP_EF} edge-feature lanes, "
+                         f"got {ef_dim}")
+    if n > 32 * 32:
+        raise ValueError("pre10 hi/lo idx split encodes indices < 1024")
+
+    interpret = interpret or not edge_attn_available()
+    while n % tile_n != 0:
+        tile_n //= 2
+        if tile_n < 1:
+            raise ValueError(f"node count {n} has no power-of-two tiling")
+    e = tile_n * k_nb
+
+    bf16 = jnp.bfloat16
+    f32 = jnp.float32
+    idx_f = idx.reshape(b, r).astype(jnp.int32)
+    rel = rel_x.reshape(b, r, 3).astype(f32)
+    rhi = rel.astype(bf16)
+    rlo = (rel - rhi.astype(f32)).astype(bf16)
+    ep = jnp.concatenate([
+        edge_feat.reshape(b, r, ef_dim).astype(bf16),
+        valid.reshape(b, r, 1).astype(bf16),
+        e_w.reshape(b, r, 1).astype(bf16),
+        rhi, rlo,
+        (idx_f // 32).astype(bf16)[..., None],
+        (idx_f % 32).astype(bf16)[..., None],
+    ], -1)                                               # [B, E, 94]
+
+    out_d = d if mode == "x2h" else 3
+    grid = (b, n // tile_n)
+
+    def node_spec(nn_, c):
+        return pl.BlockSpec((1, nn_, c), lambda bi, ti: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(c):
+        return pl.BlockSpec((1, tile_n, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi, ti: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    w = weights
+    out = pl.pallas_call(
+        functools.partial(_edge_attn_pre10_kernel, mode=mode, n_src=n,
+                          k_nb=k_nb, heads=heads),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            node_spec(n, d),
+            pl.BlockSpec((1, e, EP_LANES), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec(d), tile_spec(2 * d),
+            w_spec((d, 2 * d)), w_spec((EP_EF, 2 * d)), w_spec((4, d)),
+            w_spec((d, d)), w_spec((1, d)),
+            w_spec((d, vout)), w_spec((1, vout)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, out_d),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * (n * d + d * 2 * d + EP_EF * 2 * d
+                               + d * d + d * vout),
+            bytes_accessed=b * (n * d * 2 + r * 128 * 2),
+            transcendentals=b * r * d),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(h_node.astype(bf16), ep,
+      q.astype(f32), t_dst.astype(f32),
+      w["ws"].astype(bf16), w["we"].astype(bf16),
+      w["ln"].astype(f32),
+      w["w2k"].astype(bf16),
+      w["b2k"].reshape(1, -1).astype(f32),
+      w["w2v"].astype(bf16),
+      w["b2v"].reshape(1, -1).astype(f32))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "tile_n", "heads", "interpret"))
+def edge_attention_pre11(h_node, ep, q, t_dst,
+                         weights: Dict[str, jnp.ndarray],
+                         mode: str = "x2h", tile_n: int = 64,
+                         heads: int = 16, interpret: bool = False):
+    """pre10 kernel fed a PRE-PACKED [B, N, K, 94] bf16 edge tensor built
+    where the edge features are concatenated anyway (unitransformer
+    pallas_pre11 branch) — the pre10 wrapper's own pack measured a 41%
+    REGRESSION (32.6 vs 23.1 ms) because a standalone lane-unaligned
+    concat relayouts 67 MB per layer; appending lanes to the existing
+    edge-feature concat reuses its 128-lane padded footprint for free."""
+    b, n = q.shape[0], q.shape[1]
+    d = q.shape[-1]
+    k_nb = ep.shape[-2]
+    r = n * k_nb
+    vout = weights["w2v"].shape[1]
+    if ep.shape[-1] != EP_LANES:
+        raise ValueError(f"pre11 expects a packed [B,N,K,{EP_LANES}] edge"
+                         f" tensor, got trailing dim {ep.shape[-1]}")
+    if n > 32 * 32:
+        raise ValueError("pre11 hi/lo idx split encodes indices < 1024")
+
+    interpret = interpret or not edge_attn_available()
+    while n % tile_n != 0:
+        tile_n //= 2
+        if tile_n < 1:
+            raise ValueError(f"node count {n} has no power-of-two tiling")
+    e = tile_n * k_nb
+
+    bf16 = jnp.bfloat16
+    f32 = jnp.float32
+    ep_f = ep.reshape(b, r, EP_LANES).astype(bf16)
+
+    out_d = d if mode == "x2h" else 3
+    grid = (b, n // tile_n)
+
+    def node_spec(nn_, c):
+        return pl.BlockSpec((1, nn_, c), lambda bi, ti: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(c):
+        return pl.BlockSpec((1, tile_n, c), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi, ti: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    w = weights
+    out = pl.pallas_call(
+        functools.partial(_edge_attn_pre10_kernel, mode=mode, n_src=n,
+                          k_nb=k_nb, heads=heads),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            node_spec(n, d),
+            pl.BlockSpec((1, e, EP_LANES), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec(d), tile_spec(2 * d),
+            w_spec((d, 2 * d)), w_spec((EP_EF, 2 * d)), w_spec((4, d)),
+            w_spec((d, d)), w_spec((1, d)),
+            w_spec((d, vout)), w_spec((1, vout)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, out_d),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * (n * d + d * 2 * d + EP_EF * 2 * d
+                               + d * d + d * vout),
+            bytes_accessed=b * (n * d * 2 + r * 128 * 2),
+            transcendentals=b * r * d),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(h_node.astype(bf16), ep_f,
+      q.astype(f32), t_dst.astype(f32),
+      w["ws"].astype(bf16), w["we"].astype(bf16),
+      w["ln"].astype(f32),
+      w["w2k"].astype(bf16),
+      w["b2k"].reshape(1, -1).astype(f32),
+      w["w2v"].astype(bf16),
+      w["b2v"].reshape(1, -1).astype(f32))
     return out
 
 

@@ -287,3 +287,25 @@ def test_edge_attn_pallas_pre9_matches_xla(uni_setup):
     assert float(jnp.abs(ho - hp).max()) < 2e-2
     assert float(jnp.abs(co - cp).max()) < 2e-2
     assert float(jnp.abs(hp).max()) > 0.1
+
+
+def test_edge_attn_pallas_pre10_matches_xla(uni_setup):
+    UniTransformer, kw, params, args = uni_setup
+    xo, ho, co = UniTransformer(impl="xla", **kw).apply(params, *args)
+    xp, hp, cp = UniTransformer(impl="pallas_pre10", **kw).apply(params,
+                                                                 *args)
+    assert float(jnp.abs(xo - xp).max()) < 2e-2
+    assert float(jnp.abs(ho - hp).max()) < 2e-2
+    assert float(jnp.abs(co - cp).max()) < 2e-2
+    assert float(jnp.abs(hp).max()) > 0.1
+
+
+def test_edge_attn_pallas_pre11_matches_xla(uni_setup):
+    UniTransformer, kw, params, args = uni_setup
+    xo, ho, co = UniTransformer(impl="xla", **kw).apply(params, *args)
+    xp, hp, cp = UniTransformer(impl="pallas_pre11", **kw).apply(params,
+                                                                 *args)
+    assert float(jnp.abs(xo - xp).max()) < 2e-2
+    assert float(jnp.abs(ho - hp).max()) < 2e-2
+    assert float(jnp.abs(co - cp).max()) < 2e-2
+    assert float(jnp.abs(hp).max()) > 0.1
