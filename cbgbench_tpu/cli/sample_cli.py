@@ -96,8 +96,12 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
                                is_first_step=jnp.ones(len(samples), bool))
             # min_atoms=12 is the reference default (graphbp.py:227);
             # molecules completing below it are discarded, not force-grown
+            # clash_cand=4: protein-clash-avoiding placement (first of 4
+            # flow draws clearing 2.9 A to the receptor; r3 survivors
+            # clashed at ratio 1.0 with plain single-draw placement)
             out = sample_graphbp(model, params, empty, key,
-                                 max_atoms=lig_cap // 2, min_atoms=12)
+                                 max_atoms=lig_cap // 2, min_atoms=12,
+                                 clash_cand=4)
             gmask = np.asarray(out["gen_flag"])
             z_raw = np.asarray(out["z"])
             # molecule nodes: generated atoms plus ligand-vocab context

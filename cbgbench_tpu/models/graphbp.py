@@ -389,8 +389,9 @@ def _jit_focus_sample(model, params, batch, rng):
 
 
 @functools.partial(jax.jit, static_argnames=("model", "max_atoms",
-                                             "min_atoms"))
-def _jit_sample_scan(model, params, batch, rng, max_atoms, min_atoms):
+                                             "min_atoms", "clash_cand"))
+def _jit_sample_scan(model, params, batch, rng, max_atoms, min_atoms,
+                     clash_cand=1, clash_min=2.9):
     """The full flow-reverse growth loop ON DEVICE (``lax.scan`` with
     per-graph active switches) — one device execution instead of
     max_atoms x (2 dispatches + 4 fetches) host round-trips. The rng
@@ -413,8 +414,36 @@ def _jit_sample_scan(model, params, batch, rng, max_atoms, min_atoms):
         focus, c1, c2, ok, finite = model.apply(params, batch, k1,
                                                 method="pick_focus_sample")
         batch = batch.replace(focus=focus, c1=c1, c2=c2)
-        new_type, new_pos, _, _ = model.apply(params, batch, k2,
-                                              method="place_atom")
+        if clash_cand > 1:
+            # protein-clash-avoiding placement (VERDICT r3 #3): draw
+            # clash_cand flow samples and keep the FIRST whose distance
+            # to every context (non-generated) atom clears clash_min —
+            # falling back to the max-clearance candidate. Key order is
+            # preserved so clash_cand=1 reproduces the plain sampler.
+            keys = jax.random.split(k2, clash_cand)
+            c_type, c_pos, _, _ = jax.vmap(
+                lambda kk: model.apply(params, batch, kk,
+                                       method="place_atom"))(keys)
+            # protein atoms only (z offset >= num_classes): decomp-task
+            # ligand-context atoms are bonding targets at ~1.5 A and
+            # must not repel placements
+            ctx = (batch.mask & ~batch.gen_flag
+                   & (batch.z >= model.num_classes))       # [B, N]
+            d = jnp.linalg.norm(
+                c_pos[:, :, None, :] - batch.pos[None], axis=-1)
+            dmin = jnp.min(jnp.where(ctx[None], d, jnp.inf), -1)  # [C,B]
+            ok_c = dmin >= clash_min
+            first_ok = jnp.argmax(ok_c, axis=0)            # [B]
+            fallback = jnp.argmax(
+                jnp.where(jnp.isfinite(dmin), dmin, -jnp.inf), axis=0)
+            choice = jnp.where(ok_c.any(0), first_ok, fallback)
+            new_type = jnp.take_along_axis(c_type, choice[None],
+                                           axis=0)[0]
+            new_pos = jnp.take_along_axis(
+                c_pos, choice[None, :, None], axis=0)[0]
+        else:
+            new_type, new_pos, _, _ = model.apply(params, batch, k2,
+                                                  method="place_atom")
         n_placed = jnp.sum(batch.gen_flag & batch.mask, 1)
         slot = jnp.sum(batch.mask, 1)
         # reference termination (graphbp.py:296-313): a molecule with no
@@ -441,9 +470,16 @@ def _jit_sample_scan(model, params, batch, rng, max_atoms, min_atoms):
 
 
 def sample_graphbp(model: GraphBP, params, batch: GraphBPBatch, rng,
-                   max_atoms: int = 45, min_atoms: int = 12):
-    """Grow atoms by reverse flows, fully on-device (_jit_sample_scan)."""
-    return _jit_sample_scan(model, params, batch, rng, max_atoms, min_atoms)
+                   max_atoms: int = 45, min_atoms: int = 12,
+                   clash_cand: int = 1, clash_min: float = 2.9):
+    """Grow atoms by reverse flows, fully on-device (_jit_sample_scan).
+
+    clash_cand > 1 enables protein-clash-avoiding placement: per step,
+    clash_cand flow draws, keep the first with >= clash_min clearance to
+    every context atom (else the max-clearance one)."""
+    return _jit_sample_scan(model, params, batch, rng, max_atoms,
+                            min_atoms, clash_cand=clash_cand,
+                            clash_min=clash_min)
 
 
 def sample_graphbp_host(model: GraphBP, params, batch: GraphBPBatch, rng,

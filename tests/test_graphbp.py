@@ -223,3 +223,37 @@ def test_saturated_focus_head_keeps_grads_finite(setup, gbp_batch):
     assert np.isfinite(float(v))
     leaves = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+
+
+def test_clash_cand_placement(setup, gbp_batch):
+    """clash_cand=1 must reproduce the plain sampler bit-for-bit (same
+    key order); clash_cand=4 must not reduce the min protein clearance
+    of placed atoms (it keeps the first of 4 draws clearing 2.9 A)."""
+    model, params = setup
+    gen = np.asarray(gbp_batch.gen_flag)
+    mask = np.asarray(gbp_batch.mask) & ~gen
+    empty = gbp_batch.replace(mask=jnp.asarray(mask),
+                              gen_flag=jnp.zeros_like(gbp_batch.gen_flag),
+                              is_first_step=jnp.ones(2, bool))
+    plain = sample_graphbp(model, params, empty, jax.random.PRNGKey(4),
+                           max_atoms=5, min_atoms=1)
+    one = sample_graphbp(model, params, empty, jax.random.PRNGKey(4),
+                         max_atoms=5, min_atoms=1, clash_cand=1)
+    assert np.allclose(np.asarray(plain["pos"]), np.asarray(one["pos"]))
+
+    def min_clearance(out):
+        pos = np.asarray(out["pos"])
+        gm = np.asarray(out["gen_flag"])
+        pm = mask & (np.asarray(gbp_batch.z) >= model.num_classes)
+        vals = []
+        for b in range(pos.shape[0]):
+            if gm[b].any() and pm[b].any():
+                d = np.linalg.norm(pos[b][gm[b]][:, None]
+                                   - pos[b][pm[b]][None], axis=-1)
+                vals.append(d.min())
+        return min(vals) if vals else np.inf
+
+    avoid = sample_graphbp(model, params, empty, jax.random.PRNGKey(4),
+                           max_atoms=5, min_atoms=1, clash_cand=4)
+    assert np.isfinite(np.asarray(avoid["pos"])).all()
+    assert min_clearance(avoid) >= min_clearance(plain) - 1e-5
