@@ -246,20 +246,20 @@ def _resolve_impl(model, impl, n_nodes: int = 0):
     """'auto' -> fused Pallas kernels on TPU backends, XLA elsewhere;
     returns a (possibly cloned) model whose denoiser uses that impl.
 
-    Round-3 measurement (v5e, 30-60-rep in-program timing,
-    [16,N,32,128], BASELINE.md kernel ladder): 'pallas_pre5' — raw-h
-    neighbor gather via an in-VMEM one-hot (the XLA gather materializes
-    a [B,N·K,N] bf16 one-hot in HBM), src projection in-kernel — wins at
-    every measured bucket (512: 23.0 vs pre 26.9; 1024: 55.5 vs pre4
-    55.9 vs pallas 62.6), so auto is no longer bucket-dependent. The
-    fully-in-kernel 'pallas_pre6' (pos gather + RBF + edge features in
-    registers) measured a 51% REGRESSION (34.7 at N=512) — the narrow
-    plane matmuls and f32 lane-mask work cost more than the XLA-side
-    build they replaced; kept as a documented negative."""
+    Round-4 measurement (v5e, 50-rep in-program timing, [16,N,32,128],
+    BASELINE.md kernel ladder): 'pallas_pre11' — pre5's in-VMEM one-hot
+    gather plus ALL narrow per-edge inputs packed into spare lanes of
+    the edge-feature tensor (each [B,E,c<128] operand is lane-padded to
+    128 by the TPU tiled layout: the pre5 input set cost ~470 MB of DMA
+    per call carrying <40 MB of payload; kernel-split probe: a no-op
+    kernel with pre5's in_specs costs 0.84 of the 1.06 ms call) — 21.55
+    vs pre5's 23.13 at N=512. Documented negatives: pre6 full fusion
+    34.7; pre8 grouped gather 27.7; pre9 hand-scheduled tail flat; pre10
+    (same pack, built in the wrapper instead of the layer concat) 32.6."""
     if impl == "auto":
         from ..ops.pallas_edge_attn import edge_attn_available
         if edge_attn_available():
-            impl = "pallas_pre5"
+            impl = "pallas_pre11"
         else:
             impl = model.impl
     if impl and impl != model.impl:

@@ -238,19 +238,26 @@ class UniTransformer(nn.Module):
             # reference edge schemes (unitransformer.py:75-86): 'knn'
             # (config default), 'hybrid' (lig->k lig + k rec, rec->k any),
             # 'radius' (k nearest capped to the r_max ball)
+            knn_dist = None
             if self.cutoff_mode == "hybrid":
                 from ..ops.knn import hybrid_neighbors
                 idx, valid = hybrid_neighbors(x, mask, lig_flag, self.k)
             else:
-                idx, valid = knn_neighbors(x, mask, self.k)
+                idx, valid, knn_dist = knn_neighbors(x, mask, self.k,
+                                                     return_dist=True)
                 if self.cutoff_mode == "radius":
-                    rel_r = x[..., :, None, :] - gather_neighbors(x, idx)
-                    valid = valid & (
-                        jnp.sum(rel_r * rel_r, -1) <= self.r_max ** 2)
+                    valid = valid & (knn_dist ** 2 <= self.r_max ** 2)
             edge_attr = build_edge_type(lig_flag, idx, valid)
             if self.ew_net_type == "global":
-                rel = x[..., :, None, :] - gather_neighbors(x, idx)
-                dist = safe_norm(rel, axis=-1, keepdims=True)
+                if knn_dist is not None:
+                    # |rel_x| falls out of the kNN top_k — skip the
+                    # one-hot gather (its [B,N*K,N] one-hot read costs
+                    # ~0.3 ms/step at [16,512,32]); zero invalid slots
+                    # (their top_k values are _BIG-scale garbage)
+                    dist = jnp.where(valid, knn_dist, 0.0)[..., None]
+                else:
+                    rel = x[..., :, None, :] - gather_neighbors(x, idx)
+                    dist = safe_norm(rel, axis=-1, keepdims=True)
                 e_w = nn.sigmoid(dist_gate(rbf_table(dist)))
             else:
                 e_w = None

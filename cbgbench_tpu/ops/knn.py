@@ -31,17 +31,23 @@ def pairwise_sqdist(pos: jnp.ndarray) -> jnp.ndarray:
 
 
 def knn_neighbors(pos: jnp.ndarray, mask: jnp.ndarray, k: int,
-                  include_self: bool = False):
+                  include_self: bool = False, return_dist: bool = False):
     """For each node, indices of its k nearest valid neighbors.
 
     Args:
       pos:  [B, N, 3]
       mask: [B, N] bool — valid nodes
       k:    neighbor count (static)
+      return_dist: also return the neighbor distances — they fall out of
+        the top_k for free, and consumers that only need |rel_x| (the
+        global e_w gate) can then skip a one-hot gather whose [B,N*K,N]
+        one-hot read costs ~0.3 ms/call at [16,512,32]
 
     Returns:
       idx:   [B, N, K] int32 — source-node indices per destination
       valid: [B, N, K] bool  — neighbor slot is a real edge
+      dist:  [B, N, K] f32 (only when return_dist) — Euclidean distance
+             (invalid slots hold sqrt(_BIG)-scale garbage; mask first)
     """
     n = pos.shape[-2]
     d2 = pairwise_sqdist(pos)
@@ -54,6 +60,9 @@ def knn_neighbors(pos: jnp.ndarray, mask: jnp.ndarray, k: int,
     neg, idx = jax.lax.top_k(-d2, k)            # [B, N, K]
     valid = (-neg) < _BIG * 0.5
     valid = valid & mask[..., :, None]          # padded dst rows -> no edges
+    if return_dist:
+        return (idx.astype(jnp.int32), valid,
+                jnp.sqrt(jnp.maximum(-neg, 0.0)))
     return idx.astype(jnp.int32), valid
 
 

@@ -195,5 +195,38 @@ def main():
             print(f"kern[{mode}] stop={stop:12s}: {ms:8.3f} ms")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--pre11" not in __import__("sys").argv:
     main()
+
+
+def probe_pre11():
+    """Standalone pre11 x2h/h2x call times (run with --pre11)."""
+    import cbgbench_tpu.ops.pallas_edge_attn as pea
+
+    b, n, k, d = 16, 512, 32, 128
+    rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, 10)
+    h = jax.random.normal(keys[0], (b, n, d)).astype(jnp.bfloat16)
+    ep = jax.random.normal(keys[1], (b, n, k, pea.EP_LANES)).astype(
+        jnp.bfloat16)
+    q = jax.random.normal(keys[5], (b, n, d))
+    tdst = jax.random.normal(keys[6], (b, n, 2 * d))
+    wx = {"ws": jax.random.normal(keys[7], (d, 2 * d)) * 0.05,
+          "we": jax.random.normal(keys[8], (84, 2 * d)) * 0.05,
+          "ln": jnp.ones((4, d)),
+          "w2k": jax.random.normal(keys[9], (d, d)) * 0.05,
+          "b2k": jnp.zeros(d),
+          "w2v": jax.random.normal(keys[9], (d, d)) * 0.05,
+          "b2v": jnp.zeros(d)}
+    wh = dict(wx, w2v=jax.random.normal(keys[9], (d, 16)) * 0.05,
+              b2v=jnp.zeros(16))
+    for mode, w in (("x2h", wx), ("h2x", wh)):
+        ms = timed_loop(
+            lambda i, m=mode, ww=w: pea.edge_attention_pre11(
+                h, ep, q + 1e-6 * i, tdst, ww, mode=m), 100)
+        print(f"pre11 call [{mode}]: {ms:8.3f} ms")
+
+
+if __name__ == "__main__" and "--pre11" in __import__("sys").argv:
+    probe_pre11()
+    raise SystemExit(0)

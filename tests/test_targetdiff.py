@@ -196,9 +196,9 @@ def test_nonfinite_batch_skips_update(setup):
 
 
 def test_resolve_impl_bucket_crossover(monkeypatch):
-    """impl='auto' picks pallas_pre5 at every bucket (round-3 ladder:
-    pre5 won all measured sizes — BASELINE.md); falls back to the model's
-    own impl when kernels are unavailable."""
+    """impl='auto' picks pallas_pre11 at every bucket (round-4 ladder:
+    the packed-lane kernel won all measured sizes — BASELINE.md); falls
+    back to the model's own impl when kernels are unavailable."""
     from cbgbench_tpu.models import targetdiff as td
     model = TargetDiff(**TINY)
 
@@ -206,7 +206,7 @@ def test_resolve_impl_bucket_crossover(monkeypatch):
     import cbgbench_tpu.ops.pallas_edge_attn as pea
     monkeypatch.setattr(pea, "edge_attn_available", lambda: True)
     for n in (512, 639, 640, 1024):
-        assert td._resolve_impl(model, "auto", n).impl == "pallas_pre5"
+        assert td._resolve_impl(model, "auto", n).impl == "pallas_pre11"
 
     monkeypatch.setattr(pea, "edge_attn_available", lambda: False)
     assert td._resolve_impl(model, "auto", 1024).impl == model.impl
