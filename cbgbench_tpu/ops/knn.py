@@ -21,6 +21,29 @@ import numpy as np
 _BIG = 1e30
 
 
+def chunked_top_k(x: jnp.ndarray, k: int, chunk: int = 128):
+    """Exact top-k along the last axis via two-level selection: top-k
+    within each ``chunk``-wide slice, then top-k over the concatenated
+    candidates. Exact because every true top-k element is necessarily in
+    its own chunk's top-k. XLA's top_k lowers to a full bitonic sort of
+    the row (O(n log^2 n) VPU passes); two sorts of ``chunk`` and
+    ceil(n/chunk)*k elements are much cheaper for k << n.
+
+    Returns (values, indices) like jax.lax.top_k."""
+    n = x.shape[-1]
+    if n <= chunk or n % chunk != 0:
+        return jax.lax.top_k(x, k)
+    vs, ix = [], []
+    for c in range(0, n, chunk):
+        v, i = jax.lax.top_k(x[..., c:c + chunk], k)
+        vs.append(v)
+        ix.append(i + c)
+    v = jnp.concatenate(vs, -1)
+    i = jnp.concatenate(ix, -1)
+    v2, sel = jax.lax.top_k(v, k)
+    return v2, jnp.take_along_axis(i, sel, -1)
+
+
 def pairwise_sqdist(pos: jnp.ndarray) -> jnp.ndarray:
     """[..., N, 3] -> [..., N, N] squared distances (MXU-friendly form)."""
     # |x-y|^2 = |x|^2 + |y|^2 - 2 x.y ; the cross term is a matmul.

@@ -161,3 +161,24 @@ def test_masked_mean_ignores_nonfinite_at_masked_slots():
     np.testing.assert_allclose(out[:, 0], [2.0, 3.0])
     g = jax.grad(lambda a: masked_mean(a[..., None], mask, axis=1).sum())(x)
     assert np.isfinite(np.asarray(g)[np.asarray(mask)]).all()
+
+
+def test_chunked_top_k_exact():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cbgbench_tpu.ops.knn import chunked_top_k
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 7, 512)).astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(x, 32)
+    v, i = chunked_top_k(x, 32)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref))
+    # indices may differ only where values tie; values equality suffices
+    np.testing.assert_allclose(
+        np.take_along_axis(np.asarray(x), np.asarray(i), -1),
+        np.asarray(v_ref))
+    # non-divisible width falls back to plain top_k
+    v2, i2 = chunked_top_k(x[..., :500], 32)
+    vr2, _ = jax.lax.top_k(x[..., :500], 32)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(vr2))
