@@ -41,9 +41,10 @@ LIG_CAP = 64
 REC_CAP = 448
 T = 1000
 N_REP = 3
-CHUNK = 250  # 250 x ~23 ms = ~6 s per execution, 10x under the 60 s budget;
-             # chunk boundaries cost ~375 ms each on the remote tunnel (measured:
-             # 26.8 ms/step at CHUNK=100 vs 23.05 in-program)
+CHUNK = 500  # 500 x ~19 ms = ~10 s per execution, 6x under the 60 s budget;
+             # chunk boundaries cost ~250 ms each on the remote tunnel
+             # (r4 measured: 0.7944 -> 0.8108 mol/s going 250 -> 500;
+             # 1000 gains only +0.001 and halves the budget margin)
 
 # Generous single-chip dense-bf16 ceiling (v6e ~918 TFLOP/s is the largest
 # current chip); sustained throughput above this means the timer lied.

@@ -171,7 +171,7 @@ class DiffBP(nn.Module):
         lig_flag = jnp.concatenate([lig.mask, jnp.zeros_like(rec.mask)], 1)
         gen_flag = jnp.concatenate([lig.gen_flag, jnp.zeros_like(rec.mask)], 1)
 
-        x_out, h_out, c_out = self.denoiser(x, h, mask, lig_flag, gen_flag)
+        x_out, h_out, c_out = self.denoiser(x, h, mask, lig_flag, gen_flag, n_lig=nl)
         eps_pred, com_pred = self.com_head(
             x_out[:, :nl], x_lig, x, h_out, mask, lig_flag, gen_flag,
             lig.mask & lig.gen_flag)

@@ -101,7 +101,7 @@ class DiffSBDD(nn.Module):
         lig_flag = jnp.concatenate([lig.mask, jnp.zeros_like(rec.mask)], 1)
         gen_flag = jnp.concatenate([lig.gen_flag, jnp.zeros_like(rec.mask)], 1)
 
-        x_out, _, c_out = self.denoiser(x, h, mask, lig_flag, gen_flag)
+        x_out, _, c_out = self.denoiser(x, h, mask, lig_flag, gen_flag, n_lig=nl)
         return x_out[:, :nl], c_out[:, :nl]
 
     @staticmethod

@@ -108,8 +108,11 @@ class TargetDiff(nn.Module):
 
     # ------------------------------------------------------------------
 
-    def _denoise(self, x_lig, c_lig, batch, t):
-        """Embed + compose + run the denoiser; return ligand-slice preds."""
+    def _denoise(self, x_lig, c_lig, batch, t, knn_cache=None):
+        """Embed + compose + run the denoiser; return ligand-slice preds.
+        knn_cache: optional receptor-block kNN candidates
+        (ops.knn.knn_static_candidates) — samplers precompute them once
+        per run since receptor atoms never move."""
         lig, rec = batch.ligand, batch.protein
         nl = lig.capacity
         v_rec = protein_atom_features(rec.element, rec.is_backbone)
@@ -122,7 +125,8 @@ class TargetDiff(nn.Module):
         lig_flag = jnp.concatenate([lig.mask, jnp.zeros_like(rec.mask)], 1)
         gen_flag = jnp.concatenate([lig.gen_flag, jnp.zeros_like(rec.mask)], 1)
 
-        x_out, _, c_out = self.denoiser(x, h, mask, lig_flag, gen_flag)
+        x_out, _, c_out = self.denoiser(x, h, mask, lig_flag, gen_flag, n_lig=nl,
+                                    knn_cache=knn_cache)
         return x_out[:, :nl], c_out[:, :nl]
 
     def get_loss(self, batch, t, rng) -> Tuple[Dict[str, Any], Dict[str, Any]]:
@@ -180,9 +184,9 @@ class TargetDiff(nn.Module):
             total = {k: total[k] + ld[k] / len(times) for k in total}
         return total, last_results
 
-    def denoise(self, x_lig, c_lig, batch, t):
+    def denoise(self, x_lig, c_lig, batch, t, knn_cache=None):
         """Public denoiser step for samplers: apply(params, ..., method='denoise')."""
-        return self._denoise(x_lig, c_lig, batch, t)
+        return self._denoise(x_lig, c_lig, batch, t, knn_cache=knn_cache)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "with_traj", "eta",
@@ -208,6 +212,15 @@ def _sample_chunk(model: TargetDiff, params, batch, carry, t_arr, s_arr,
     type_sched = TypeVPScheduler.create(
         model.num_timesteps, model.num_classes, model.atom_schedule,
         cosine_s=model.atom_cosine_s)
+    # Receptor atoms never move during sampling: hoist their kNN block
+    # out of the scan (knn_neighbors_cached merges these candidates with
+    # the 64 moving ligand columns each step — exact, measured 0.76 ->
+    # ~0.3 ms/step at [16,512]).
+    rec = batch.protein
+    knn_cache = None
+    if rec.capacity > model.k:
+        from ..ops.knn import knn_static_candidates
+        knn_cache = knn_static_candidates(rec.pos, rec.mask, model.k)
 
     def step(carry, t_s):
         x, c, key = carry
@@ -216,7 +229,8 @@ def _sample_chunk(model: TargetDiff, params, batch, carry, t_arr, s_arr,
         b = x.shape[0]
         t = jnp.full((b,), t_i, jnp.int32)
         s = jnp.full((b,), s_i, jnp.int32)
-        x_pred, c_pred = model.apply(params, x, c, batch, t, method="denoise")
+        x_pred, c_pred = model.apply(params, x, c, batch, t,
+                                     knn_cache, method="denoise")
         if model.denoise_structure:
             if unit_stride:
                 x_next = pos_sched.backward_remove_noise(

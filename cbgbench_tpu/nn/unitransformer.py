@@ -16,18 +16,27 @@ import jax
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.knn import gather_neighbors, knn_neighbors
+from ..ops.knn import (gather_neighbors, gather_neighbors_prefix,
+                       knn_neighbors)
 from ..ops.rbf import GaussianSmearingTable
 from ..utils.geometry import safe_norm
 from .attention import H2XAttnFused, X2HAttnFused
 from .common import MLP, ShiftedSoftplus, outer_product
 
 
-def build_edge_type(lig_flag, idx, valid):
+def build_edge_type(lig_flag, idx, valid, n_lig=None):
     """4-class one-hot edge typing by (src-is-ligand, dst-is-ligand)
     (reference: unitransformer.py:88-99): ll=0, l->r dst=1, r->l=2, rr=3.
-    In reference terms src/dst: class = (1-src_lig)*2 + (1-dst_lig)."""
-    src_lig = gather_neighbors(lig_flag, idx)            # [B, N, K]
+    In reference terms src/dst: class = (1-src_lig)*2 + (1-dst_lig).
+    n_lig: ligand rows all live in [0, n_lig) — lig_flag is zero beyond,
+    so the src gather only needs the ligand-prefix one-hot (~8x cheaper
+    than the full [B,N*K,N] one-hot)."""
+    if n_lig is not None:
+        src_lig = gather_neighbors_prefix(
+            lig_flag[:, :n_lig, None].astype(jnp.bfloat16), idx
+        )[..., 0] > 0.5
+    else:
+        src_lig = gather_neighbors(lig_flag, idx)        # [B, N, K]
     dst_lig = lig_flag[..., :, None]
     cls = (1 - src_lig.astype(jnp.int32)) * 2 + (1 - dst_lig.astype(jnp.int32))
     onehot = jax.nn.one_hot(cls, 4)
@@ -60,7 +69,14 @@ class E3DualAttentionLayer(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, h, idx, valid, edge_attr, e_w, gen_flag):
+    def __call__(self, x, h, idx, valid, edge_attr, e_w, gen_flag,
+                 rel_x=None):
+        """rel_x: optional precomputed x_i - x_j per edge [B,N,K,3].
+        UniTransformer hoists the (expensive) x-gather out of the layer
+        loop and maintains rel_x incrementally between layers (only
+        generated rows move, so the per-layer delta gather is the
+        ligand-prefix one-hot — ~8x cheaper); None falls back to a full
+        in-layer gather."""
         from ..ops.knn import smart_gather
 
         common = dict(hidden_dim=self.hidden_dim, n_heads=self.n_heads,
@@ -83,10 +99,10 @@ class E3DualAttentionLayer(nn.Module):
         elif self.impl in ("pallas", "pallas2", "pallas_pre3"):
             # h gathers happen inside the fused kernel (pallas/pallas2) or
             # ride the XLA projection gather (pre3); edge features are
-            # built in-kernel so only rel_x is precomputed (exact 3-plane
-            # gather)
-            x_src = gather_neighbors(x, idx)
-            rel_x = x[..., :, None, :] - x_src
+            # built in-kernel so only rel_x is needed (exact 3-plane
+            # gather when not provided by the caller)
+            if rel_x is None:
+                rel_x = x[..., :, None, :] - gather_neighbors(x, idx)
             h_src = h_src2 = None
             edge_feat = None
         elif self.impl == "pallas_pre11":
@@ -99,8 +115,8 @@ class E3DualAttentionLayer(nn.Module):
             # (measured: scripts/probe_kernel_split.py noop floor 0.84 ms
             # of the 1.06 ms call). Appending lanes to the existing
             # concat reuses its padded footprint for free.
-            x_src = gather_neighbors(x, idx)
-            rel_x = x[..., :, None, :] - x_src
+            if rel_x is None:
+                rel_x = x[..., :, None, :] - gather_neighbors(x, idx)
             rbf_table = GaussianSmearingTable(0.0, self.r_max,
                                               self.num_r_gaussian)
             dist = safe_norm(rel_x, axis=-1, keepdims=True)
@@ -126,8 +142,8 @@ class E3DualAttentionLayer(nn.Module):
                            "pallas_pre10"):
             # hybrid: XLA gathers projections at MXU peak, the kernel
             # fuses the rest; edge features shared across both attentions
-            x_src = gather_neighbors(x, idx)
-            rel_x = x[..., :, None, :] - x_src
+            if rel_x is None:
+                rel_x = x[..., :, None, :] - gather_neighbors(x, idx)
             rbf_table = GaussianSmearingTable(0.0, self.r_max,
                                               self.num_r_gaussian)
             dist = safe_norm(rel_x, axis=-1, keepdims=True)
@@ -137,9 +153,13 @@ class E3DualAttentionLayer(nn.Module):
                 -1).astype(jnp.bfloat16)
             h_src = h_src2 = None
         else:
-            h_src, x_src = smart_gather([h_in.astype(gdt), x], idx,
+            if rel_x is None:
+                h_src, x_src = smart_gather([h_in.astype(gdt), x], idx,
+                                            method=self.gather_method)
+                rel_x = x[..., :, None, :] - x_src
+            else:
+                (h_src,) = smart_gather([h_in.astype(gdt)], idx,
                                         method=self.gather_method)
-            rel_x = x[..., :, None, :] - x_src
             rbf_table = GaussianSmearingTable(0.0, self.r_max,
                                               self.num_r_gaussian)
             dist = safe_norm(rel_x, axis=-1, keepdims=True)
@@ -211,8 +231,18 @@ class UniTransformer(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, h, mask, lig_flag, gen_flag):
+    def __call__(self, x, h, mask, lig_flag, gen_flag, n_lig=None,
+                 knn_cache=None):
         """x [B,N,3], h [B,N,D], mask/lig_flag/gen_flag [B,N].
+        n_lig: static int — generated (movable) nodes all live in rows
+        [0, n_lig) of the composed layout (models compose [lig | rec]).
+        When given, the per-layer rel_x refresh uses a ligand-prefix
+        delta gather (~8x cheaper than re-gathering all of x; measured
+        0.274 ms/layer at [16,512,32] for the full one-hot).
+        knn_cache: optional (neg_d2, idx) from knn_static_candidates on
+        the receptor rows [n_lig:, :] — samplers compute it once per run
+        (receptor atoms never move), dropping the [N_rec, N_rec] block
+        from the per-step kNN (measured 0.76 -> ~0.3 ms at [16,512]).
         Returns (x', h', class logits or None)."""
         layers = [
             E3DualAttentionLayer(
@@ -229,8 +259,12 @@ class UniTransformer(nn.Module):
         if self.ew_net_type == "global":
             # reference: get_dist_emb('gaussian_exp', 20) = GaussianSmearing
             # then MLP(20 -> 1, hidden 20*8)
+            # dtype follows the model policy (bf16 on TPU): the gate's
+            # [B,N*K,160] intermediates in f32 cost ~335 MB of HBM
+            # traffic per step; params stay f32 either way
             dist_gate = MLP(1, self.num_r_gaussian * 8, num_layer=2,
-                            norm=True, act="relu", name="dist_emb_mlp")
+                            norm=True, act="relu", name="dist_emb_mlp",
+                            dtype=self.dtype)
             rbf_table = GaussianSmearingTable(0.0, self.r_max,
                                               self.num_r_gaussian)
 
@@ -242,12 +276,19 @@ class UniTransformer(nn.Module):
             if self.cutoff_mode == "hybrid":
                 from ..ops.knn import hybrid_neighbors
                 idx, valid = hybrid_neighbors(x, mask, lig_flag, self.k)
+            elif (knn_cache is not None and n_lig is not None
+                  and self.cutoff_mode == "knn"):
+                from ..ops.knn import knn_neighbors_cached
+                idx, valid, knn_dist = knn_neighbors_cached(
+                    x, mask, self.k, n_lig, knn_cache[0], knn_cache[1],
+                    return_dist=True)
             else:
                 idx, valid, knn_dist = knn_neighbors(x, mask, self.k,
                                                      return_dist=True)
                 if self.cutoff_mode == "radius":
                     valid = valid & (knn_dist ** 2 <= self.r_max ** 2)
-            edge_attr = build_edge_type(lig_flag, idx, valid)
+            edge_attr = build_edge_type(lig_flag, idx, valid,
+                                        n_lig=n_lig)
             if self.ew_net_type == "global":
                 if knn_dist is not None:
                     # |rel_x| falls out of the kNN top_k — skip the
@@ -261,8 +302,24 @@ class UniTransformer(nn.Module):
                 e_w = nn.sigmoid(dist_gate(rbf_table(dist)))
             else:
                 e_w = None
-            for layer in layers:
-                x, h = layer(x, h, idx, valid, edge_attr, e_w, gen_flag)
+            # Hoist the x-gather out of the layer loop: rel_x is exact at
+            # layer 0, then maintained incrementally — between layers only
+            # generated rows move (H2X deltas are gen_flag-gated), so
+            # rel_x' = rel_x + dx_i - dx_j needs only a ligand-prefix
+            # gather of the delta. Exact up to one f32 rounding per layer
+            # (rel + (x'-x)_i - (x'-x)_j vs x'_i - x'_j).
+            rel_x = x[..., :, None, :] - gather_neighbors(x, idx)
+            for li, layer in enumerate(layers):
+                x_new, h = layer(x, h, idx, valid, edge_attr, e_w,
+                                 gen_flag, rel_x=rel_x)
+                if li + 1 < len(layers):
+                    dx = x_new - x
+                    if n_lig is not None:
+                        dg = gather_neighbors_prefix(dx[:, :n_lig], idx)
+                    else:
+                        dg = gather_neighbors(dx, idx)
+                    rel_x = rel_x + dx[..., :, None, :] - dg
+                x = x_new
 
         if self.num_classes is not None:
             out_c = self.out_classes or self.num_classes

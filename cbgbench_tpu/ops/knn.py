@@ -46,9 +46,15 @@ def chunked_top_k(x: jnp.ndarray, k: int, chunk: int = 128):
 
 def pairwise_sqdist(pos: jnp.ndarray) -> jnp.ndarray:
     """[..., N, 3] -> [..., N, N] squared distances (MXU-friendly form)."""
-    # |x-y|^2 = |x|^2 + |y|^2 - 2 x.y ; the cross term is a matmul.
+    # |x-y|^2 = |x|^2 + |y|^2 - 2 x.y ; the cross term is a matmul with
+    # the coordinate channel ZERO-PADDED 3 -> 8: XLA lowers the bare d=3
+    # contraction catastrophically on TPU (measured 10.5 ms vs 1.05 ms
+    # padded at [16,512,512], round-4 probe) — the sub-sublane
+    # contraction forces relayouts that dwarf the 25 MFLOP matmul.
+    # Zero padding keeps the math exact.
     sq = jnp.sum(pos * pos, axis=-1)
-    cross = jnp.einsum("...nd,...md->...nm", pos, pos)
+    pp = jnp.pad(pos, [(0, 0)] * (pos.ndim - 1) + [(0, 5)])
+    cross = pp @ jnp.swapaxes(pp, -1, -2)
     d2 = sq[..., :, None] + sq[..., None, :] - 2 * cross
     return jnp.maximum(d2, 0.0)
 
@@ -80,6 +86,11 @@ def knn_neighbors(pos: jnp.ndarray, mask: jnp.ndarray, k: int,
         eye = jnp.eye(n, dtype=bool)
         inval = inval | eye
     d2 = jnp.where(inval, _BIG, d2)
+    # plain top_k, deliberately: chunked_top_k measured 4.36 vs 10.57 ms
+    # for STANDALONE knn (it lets XLA fuse the pairwise build into the
+    # chunk slices), but IN-GRAPH the full denoise step regressed 21.55
+    # -> 24.22 ms with it — the surrounding graph already fuses the
+    # plain path better (round-4 measurement; see BASELINE.md)
     neg, idx = jax.lax.top_k(-d2, k)            # [B, N, K]
     valid = (-neg) < _BIG * 0.5
     valid = valid & mask[..., :, None]          # padded dst rows -> no edges
@@ -87,6 +98,93 @@ def knn_neighbors(pos: jnp.ndarray, mask: jnp.ndarray, k: int,
         return (idx.astype(jnp.int32), valid,
                 jnp.sqrt(jnp.maximum(-neg, 0.0)))
     return idx.astype(jnp.int32), valid
+
+
+def pairwise_cross_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[..., M, 3] x [..., N, 3] -> [..., M, N] squared distances (same
+    MXU-friendly 3->8 zero-padded form as pairwise_sqdist)."""
+    sq_a = jnp.sum(a * a, axis=-1)
+    sq_b = jnp.sum(b * b, axis=-1)
+    pa = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, 5)])
+    pb = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, 5)])
+    cross = pa @ jnp.swapaxes(pb, -1, -2)
+    return jnp.maximum(sq_a[..., :, None] + sq_b[..., None, :] - 2 * cross,
+                       0.0)
+
+
+def knn_static_candidates(pos: jnp.ndarray, mask: jnp.ndarray, k: int):
+    """Per-node top-k WITHIN a static block (the pocket's receptor atoms,
+    frozen for an entire sampling run): compute once, feed
+    knn_neighbors_cached every step. The receptor-receptor block is
+    (N_rec/N)^2 of the distance matrix (~77% at 448/512) and its top-k
+    candidates never change while only ligand atoms move.
+
+    Returns (neg_d2 [B, R, K] f32, idx [B, R, K] int32 LOCAL indices).
+    """
+    r = pos.shape[-2]
+    if r <= k:
+        raise ValueError(f"static block of {r} nodes <= k={k}; "
+                         "use knn_neighbors directly")
+    d2 = pairwise_sqdist(pos)
+    inval = ~(mask[..., :, None] & mask[..., None, :])
+    inval = inval | jnp.eye(r, dtype=bool)
+    neg, idx = jax.lax.top_k(-jnp.where(inval, _BIG, d2), k)
+    return neg, idx.astype(jnp.int32)
+
+
+def knn_neighbors_cached(pos: jnp.ndarray, mask: jnp.ndarray, k: int,
+                         n_dyn: int, cand_neg: jnp.ndarray,
+                         cand_idx: jnp.ndarray,
+                         return_dist: bool = False):
+    """knn_neighbors with the static-block candidates precomputed.
+
+    Layout contract: rows [0, n_dyn) are dynamic (ligand), rows
+    [n_dyn, N) are static, and (cand_neg, cand_idx) come from
+    knn_static_candidates(pos[:, n_dyn:], mask[:, n_dyn:], k). Exact:
+    a static row's k nearest among all N nodes is the k-best of
+    (its k-best static neighbors) U (all n_dyn dynamic columns), so the
+    merged top-k equals the full top-k up to tie order. Cost: the
+    [N_rec, N_rec] distance block and its top-k drop out of the per-step
+    graph; top-k shrinks from [N, N] rows to [n_dyn, N] + [N_rec, K+n_dyn].
+    """
+    n = pos.shape[-2]
+    nl = n_dyn
+    pos_l = pos[:, :nl]
+    mask_l = mask[:, :nl]
+    mask_r = mask[:, nl:]
+
+    # dynamic rows: full top-k over all columns (self excluded)
+    d2_l = pairwise_cross_sqdist(pos_l, pos)
+    inval_l = ~(mask_l[..., :, None] & mask[..., None, :])
+    eye_l = (jnp.arange(n)[None, :] == jnp.arange(nl)[:, None])
+    inval_l = inval_l | eye_l
+    neg_l, idx_l = jax.lax.top_k(-jnp.where(inval_l, _BIG, d2_l), k)
+
+    # static rows: merge k static candidates with the n_dyn dynamic cols
+    d2_rl = pairwise_cross_sqdist(pos[:, nl:], pos_l)
+    inval_rl = ~(mask_r[..., :, None] & mask_l[..., None, :])
+    vals = jnp.concatenate(
+        [cand_neg, -jnp.where(inval_rl, _BIG, d2_rl)], -1)  # [B,R,K+NL]
+    neg_r, sel = jax.lax.top_k(vals, k)
+    # Map merged positions to global indices. Static picks need a
+    # per-row gather of cand_idx by sel; done as two bf16-exact one-hot
+    # einsums over hi/lo nibbles (values < 16*32=512; bf16 is only exact
+    # to 256, and take_along_axis lowers to a serial gather on TPU).
+    oh = jax.nn.one_hot(jnp.minimum(sel, k - 1), k, dtype=jnp.bfloat16)
+    glob_static = cand_idx + nl                         # [B,R,K]
+    hi = (glob_static // 16).astype(jnp.bfloat16)
+    lo = (glob_static % 16).astype(jnp.bfloat16)
+    pick_hi = jnp.einsum("brkc,brc->brk", oh, hi)
+    pick_lo = jnp.einsum("brkc,brc->brk", oh, lo)
+    picked = (pick_hi.astype(jnp.int32) * 16 + pick_lo.astype(jnp.int32))
+    idx_r = jnp.where(sel < k, picked, sel - k)
+
+    idx = jnp.concatenate([idx_l, idx_r], 1).astype(jnp.int32)
+    neg = jnp.concatenate([neg_l, neg_r], 1)
+    valid = ((-neg) < _BIG * 0.5) & mask[..., :, None]
+    if return_dist:
+        return idx, valid, jnp.sqrt(jnp.maximum(-neg, 0.0))
+    return idx, valid
 
 
 def _split_planes(x: jnp.ndarray):
@@ -144,6 +242,36 @@ def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     else:
         out = out.astype(in_dtype)
     return out[..., 0] if squeeze else out
+
+
+def gather_neighbors_prefix(x_prefix: jnp.ndarray,
+                            idx: jnp.ndarray) -> jnp.ndarray:
+    """One-hot gather restricted to the first P source rows.
+
+    x_prefix [B, P, D], idx [B, N, K] with GLOBAL indices in [0, N);
+    any idx >= P gathers exact zeros (its one-hot row is empty). The
+    one-hot shrinks from [B, N*K, N] to [B, N*K, P] — ~N/P cheaper in
+    HBM traffic. Used by the incremental rel_x update: between layers
+    only ligand rows (the first ``n_lig``) ever move, so the per-layer
+    delta gather only needs the ligand block. Same 3-plane f32
+    exactness as gather_neighbors."""
+    in_dtype = x_prefix.dtype
+    b, p, d = x_prefix.shape
+    flat_idx = idx.reshape(b, -1)                       # [B, N*K]
+    onehot = (flat_idx[..., None] == jnp.arange(p, dtype=idx.dtype)
+              ).astype(jnp.bfloat16)                    # [B, N*K, P]
+    if in_dtype == jnp.bfloat16:
+        payload = x_prefix
+        n_planes = 1
+    else:
+        hi, mid, lo = _split_planes(x_prefix.astype(jnp.float32))
+        payload = jnp.concatenate([hi, mid, lo], axis=-1)
+        n_planes = 3
+    out = jax.lax.dot_general(onehot, payload, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    if n_planes == 3:
+        out = out[..., :d] + out[..., d:2 * d] + out[..., 2 * d:]
+    return out.reshape(idx.shape + (d,)).astype(in_dtype)
 
 
 def gather_neighbors_multi(xs, idx):

@@ -182,3 +182,170 @@ def test_chunked_top_k_exact():
     v2, i2 = chunked_top_k(x[..., :500], 32)
     vr2, _ = jax.lax.top_k(x[..., :500], 32)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(vr2))
+
+
+def test_gather_neighbors_prefix_matches_zero_padded_full():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cbgbench_tpu.ops.knn import gather_neighbors, gather_neighbors_prefix
+
+    rng = np.random.default_rng(7)
+    b, n, k, p, d = 2, 48, 6, 12, 3
+    idx = jnp.asarray(rng.integers(0, n, size=(b, n, k)).astype(np.int32))
+    dx = jnp.asarray(rng.normal(size=(b, p, d)).astype(np.float32))
+    # full gather of dx zero-extended to all n rows == prefix gather
+    dx_full = jnp.concatenate([dx, jnp.zeros((b, n - p, d))], 1)
+    ref = np.asarray(gather_neighbors(dx_full, idx))
+    out = np.asarray(gather_neighbors_prefix(dx, idx))
+    np.testing.assert_allclose(out, ref, atol=0, rtol=0)
+    # bf16 payload path
+    ref_b = np.asarray(gather_neighbors(dx_full.astype(jnp.bfloat16), idx),
+                       dtype=np.float32)
+    out_b = np.asarray(gather_neighbors_prefix(dx.astype(jnp.bfloat16), idx),
+                       dtype=np.float32)
+    np.testing.assert_allclose(out_b, ref_b, atol=0, rtol=0)
+
+
+def test_incremental_rel_x_matches_direct_recompute():
+    """The UniTransformer layer loop maintains rel_x incrementally
+    (rel' = rel + dx_i - dx_j with a ligand-prefix delta gather); pin
+    its drift against direct x'_i - x'_j recomputation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cbgbench_tpu.ops.knn import (gather_neighbors,
+                                      gather_neighbors_prefix,
+                                      knn_neighbors)
+
+    rng = np.random.default_rng(3)
+    b, n, k, nl = 2, 64, 8, 16
+    x = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32) * 5)
+    mask = jnp.ones((b, n), bool)
+    idx, _ = jax.jit(lambda p, m: knn_neighbors(p, m, k))(x, mask)
+    rel = x[..., :, None, :] - gather_neighbors(x, idx)
+    for step in range(9):
+        dx = jnp.zeros((b, n, 3)).at[:, :nl].set(
+            jnp.asarray(rng.normal(size=(b, nl, 3)).astype(np.float32))
+            * 0.05)
+        x = x + dx
+        rel = rel + dx[..., :, None, :] - gather_neighbors_prefix(
+            dx[:, :nl], idx)
+    direct = np.asarray(x[..., :, None, :] - gather_neighbors(x, idx))
+    np.testing.assert_allclose(np.asarray(rel), direct, atol=5e-6)
+
+
+def test_knn_cached_matches_full():
+    """knn_neighbors_cached (static receptor candidates merged with the
+    dynamic ligand columns) must reproduce knn_neighbors exactly on
+    valid slots: idx where valid, valid everywhere, dist where valid."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cbgbench_tpu.ops.knn import (knn_neighbors, knn_neighbors_cached,
+                                      knn_static_candidates)
+
+    rng = np.random.default_rng(11)
+    b, nl, nr, k = 3, 16, 80, 8
+    n = nl + nr
+    pos = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32) * 4)
+    mask = jnp.asarray(rng.random((b, n)) > 0.15)
+    # ensure enough valid receptor rows
+    mask = mask.at[:, nl:nl + 40].set(True)
+
+    idx_f, val_f, dist_f = knn_neighbors(pos, mask, k, return_dist=True)
+    cand = knn_static_candidates(pos[:, nl:], mask[:, nl:], k)
+    idx_c, val_c, dist_c = knn_neighbors_cached(
+        pos, mask, k, nl, cand[0], cand[1], return_dist=True)
+
+    vf, vc = np.asarray(val_f), np.asarray(val_c)
+    np.testing.assert_array_equal(vf, vc)
+    i_f, i_c = np.asarray(idx_f), np.asarray(idx_c)
+    # valid slots must agree as SETS per row with matching distances
+    # (top_k tie order may differ between merged and full paths)
+    df, dc = np.asarray(dist_f), np.asarray(dist_c)
+    for bi in range(b):
+        for r in range(n):
+            sf = sorted(zip(df[bi, r][vf[bi, r]], i_f[bi, r][vf[bi, r]]))
+            sc = sorted(zip(dc[bi, r][vc[bi, r]], i_c[bi, r][vc[bi, r]]))
+            assert len(sf) == len(sc)
+            for (da, ia), (db_, ib) in zip(sf, sc):
+                # same formula, different XLA fusion: ~4e-6 rel drift
+                np.testing.assert_allclose(da, db_, rtol=1e-4, atol=1e-5)
+                assert ia == ib, (bi, r, ia, ib)
+
+
+def test_mlp_param_mirror_matches_flax_original():
+    """MLP was rewritten over param-mirrored Dense/LayerNorm (so callers
+    can fuse projections into its first matmul). Pin: identical param
+    tree AND outputs vs the original nn.Dense/nn.LayerNorm composition,
+    for the configs used across the codebase."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import flax.linen as nn
+    from cbgbench_tpu.nn.common import ACT, MLP
+
+    class MLPRef(nn.Module):
+        out_dim: int
+        hidden_dim: int
+        num_layer: int = 2
+        norm: bool = True
+        act: str = "relu"
+        act_last: bool = False
+        dtype: object = None
+
+        @nn.compact
+        def __call__(self, x):
+            act = ACT[self.act]
+            for i in range(self.num_layer):
+                feat = (self.out_dim if i == self.num_layer - 1
+                        else self.hidden_dim)
+                x = nn.Dense(feat, dtype=self.dtype)(x)
+                if i < self.num_layer - 1 or self.act_last:
+                    if self.norm:
+                        x = nn.LayerNorm(dtype=self.dtype)(x)
+                    x = act(x)
+            return x
+
+    rng = jax.random.PRNGKey(0)
+    x32 = jax.random.normal(jax.random.PRNGKey(1), (4, 7, 24))
+    for cfg in (dict(out_dim=16, hidden_dim=16),
+                dict(out_dim=8, hidden_dim=12, num_layer=3),
+                dict(out_dim=8, hidden_dim=12, act_last=True),
+                dict(out_dim=16, hidden_dim=16, norm=False),
+                dict(out_dim=16, hidden_dim=16, dtype=jnp.bfloat16),
+                dict(out_dim=5, hidden_dim=9, num_layer=3,
+                     act="silu", act_last=True, dtype=jnp.bfloat16)):
+        x = x32.astype(cfg.get("dtype") or jnp.float32)
+        new = MLP(**cfg)
+        ref = MLPRef(**cfg)
+        p_new = new.init(rng, x)
+        p_ref = ref.init(rng, x)
+        flat_new = jax.tree_util.tree_flatten_with_path(p_new)[0]
+        flat_ref = jax.tree_util.tree_flatten_with_path(p_ref)[0]
+        assert [k for k, _ in flat_new] == [k for k, _ in flat_ref], cfg
+        for (k, a), (_, b) in zip(flat_new, flat_ref):
+            assert a.shape == b.shape and a.dtype == b.dtype, (cfg, k)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       err_msg=str((cfg, k)))
+        o_new = np.asarray(new.apply(p_ref, x), dtype=np.float32)
+        o_ref = np.asarray(ref.apply(p_ref, x), dtype=np.float32)
+        np.testing.assert_allclose(o_new, o_ref, rtol=2e-5, atol=2e-5,
+                                   err_msg=str(cfg))
+
+    # fused extra projection == separate matmul
+    wd = jax.random.normal(jax.random.PRNGKey(2), (24, 10))
+    bd = jax.random.normal(jax.random.PRNGKey(3), (10,))
+    m = MLP(out_dim=16, hidden_dim=16, dtype=jnp.bfloat16)
+    p = m.init(rng, x32.astype(jnp.bfloat16))
+    q_fused, ex = m.apply(p, x32.astype(jnp.bfloat16), extra_weight=wd,
+                          extra_bias=bd)
+    q_plain = m.apply(p, x32.astype(jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(q_fused, dtype=np.float32),
+                               np.asarray(q_plain, dtype=np.float32))
+    ref_ex = (x32.astype(jnp.bfloat16) @ wd.astype(jnp.bfloat16)
+              + bd.astype(jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(ex, dtype=np.float32),
+                               np.asarray(ref_ex, dtype=np.float32),
+                               rtol=2e-2, atol=2e-2)
