@@ -96,12 +96,17 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
                                is_first_step=jnp.ones(len(samples), bool))
             # min_atoms=12 is the reference default (graphbp.py:227);
             # molecules completing below it are discarded, not force-grown
-            # clash_cand=4: protein-clash-avoiding placement (first of 4
-            # flow draws clearing 2.9 A to the receptor; r3 survivors
-            # clashed at ratio 1.0 with plain single-draw placement)
+            # clash_cand=8 / clash_min=3.2: protein-clash-avoiding
+            # placement (first of 8 flow draws clearing 3.2 A to the
+            # receptor; r3 survivors clashed at ratio 1.0 with plain
+            # single-draw placement). 3.2 = the largest vdW-sum minus
+            # tolerance the evaluator counts as clash (S/P pairs,
+            # tools/geometry.py detect_clash) — the first q4 run used
+            # 2.9, UNDER the C-C clash threshold of 3.0, and survivors
+            # still read 98% clashed
             out = sample_graphbp(model, params, empty, key,
                                  max_atoms=lig_cap // 2, min_atoms=12,
-                                 clash_cand=4)
+                                 clash_cand=8, clash_min=3.2)
             gmask = np.asarray(out["gen_flag"])
             z_raw = np.asarray(out["z"])
             # molecule nodes: generated atoms plus ligand-vocab context
