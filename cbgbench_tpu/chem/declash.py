@@ -1,0 +1,63 @@
+"""Post-hoc protein-declash for generated poses.
+
+The evaluator counts a ligand atom as clashing when its distance to any
+protein atom is below (vdW_i + vdW_j - 0.4) — up to 3.2 Å for S/P pairs
+(tools/geometry.py detect_clash). Generative samplers that place atoms
+against the pocket wall (GraphBP's flows especially — r3/r4 survivors
+clashed at mol ratio 0.89-1.0) can be repaired after reconstruction: a
+rigid translation fixes the bulk displacement without touching internal
+geometry, a capped per-atom push handles wrap-around pockets a rigid
+move cannot fix, and chem.project.project_stable_pose afterwards
+restores any stretched bonds onto the stability tables.
+
+No reference counterpart: the reference relies on UFF relaxation inside
+RDKit for FLAG (flag.py:161-170) and ships GraphBP clashes unrepaired.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .mol import Molecule
+
+# Upper bound of the evaluator's clash band over element pairs that
+# occur in pockets (S/P: 1.8 + 1.8 - 0.4 = 3.2) plus a small margin.
+CLEAR_DIST = 3.25
+
+
+def declash_pose(mol: Molecule, rec_pos: np.ndarray, thr: float = CLEAR_DIST,
+                 iters: int = 12, per_atom_cap: float = 0.3,
+                 max_shift: float = 4.0) -> Molecule:
+    """Push a molecule out of protein vdW overlap.
+
+    Per iteration: (1) rigid translation by the overlap-weighted mean
+    repulsion vector (bond-preserving), (2) a per-atom residual push
+    capped at ``per_atom_cap`` Å for contacts a rigid move cannot clear.
+    Stops early once every atom clears ``thr``. The total rigid drift is
+    capped at ``max_shift`` Å so a molecule threaded through the protein
+    cannot be ejected from the pocket entirely (callers should treat
+    still-clashing output as a failed repair, not silently valid).
+    """
+    rec = np.asarray(rec_pos, np.float64)
+    if rec.size == 0 or mol.num_atoms == 0:
+        return mol
+    pos = np.asarray(mol.pos, np.float64).copy()
+    start_center = pos.mean(0)
+    for _ in range(iters):
+        diff = pos[:, None] - rec[None]                  # [NL, NR, 3]
+        d = np.linalg.norm(diff, axis=-1)
+        overlap = np.maximum(0.0, thr - d)
+        if not (overlap > 0).any():
+            break
+        w = overlap / np.maximum(d, 1e-6)
+        push = (w[..., None] * diff).sum(1)              # [NL, 3]
+        rigid = push.mean(0)
+        if np.linalg.norm((pos.mean(0) + rigid) - start_center) <= max_shift:
+            pos = pos + rigid
+        res = 0.5 * (push - rigid)
+        nrm = np.linalg.norm(res, axis=-1, keepdims=True)
+        pos = pos + res * np.minimum(1.0, per_atom_cap
+                                     / np.maximum(nrm, 1e-9))
+    return Molecule(mol.atomic_numbers, pos.astype(np.float32),
+                    bonds=dict(mol.bonds), aromatic=mol.aromatic,
+                    name=mol.name)

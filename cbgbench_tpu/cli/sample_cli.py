@@ -116,7 +116,8 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
             # have gen_flag cleared but still occupy mask slots.
             lig_nodes = gmask | (mask & (z_raw < model.num_classes))
             atype = np.clip(z_raw, 0, model.num_classes - 1)
-            yield np.asarray(out["pos"]), atype, lig_nodes
+            rec_nodes = mask & (z_raw >= model.num_classes)
+            yield np.asarray(out["pos"]), atype, lig_nodes, rec_nodes
         elif model_type == "flag":
             from ..sampling.flag_sample import (sample_flag_batch,
                                                 vocab_from_dataset)
@@ -174,6 +175,12 @@ def main(argv=None):
                    help="project reconstructed poses onto the stability "
                         "distance tables (valence-aware bond-length "
                         "projection, chem/project.py) before writing SDFs")
+    p.add_argument("--declash", type=int, default=0, metavar="ITERS",
+                   help="post-hoc protein-declash iterations on "
+                        "reconstructed poses (chem/declash.py: rigid + "
+                        "capped per-atom pushes out of the evaluator's "
+                        "vdW clash band; combine with --project_stable "
+                        "to restore bond lengths)")
     p.add_argument("--refine_clash", type=float, default=0.0,
                    help="FLAG: steric-repulsion step size added to each "
                         "refine iteration (parameter-free physics term; "
@@ -329,8 +336,12 @@ def main(argv=None):
                 if bi == 0:
                     t_warm, n_warm = time.time(), n_done
                 continue
+            rec_sel = None
             if batches is not None:
-                pos, atype, mask = batch
+                if len(batch) == 4:
+                    pos, atype, mask, rec_sel = batch
+                else:
+                    pos, atype, mask = batch
             else:
                 rng = jax.random.fold_in(jax.random.PRNGKey(seed),
                                          bi * 1000 + i)
@@ -352,6 +363,17 @@ def main(argv=None):
                 except Exception:
                     ok = False
                 if ok:
+                    if args.declash:
+                        from ..chem.declash import declash_pose
+                        if rec_sel is not None:
+                            rp = pos[s][rec_sel[s]]
+                        elif hasattr(batch, "protein"):
+                            rp = (np.asarray(batch.protein.pos[s])[
+                                np.asarray(batch.protein.mask[s])]
+                                + np.asarray(batch.translation)[s])
+                        else:
+                            rp = np.zeros((0, 3))
+                        frag = declash_pose(frag, rp, iters=args.declash)
                     if args.project_stable:
                         frag = project_stable_pose(frag)
                     write_sdf(os.path.join(out_dir, f"{n_valid}.sdf"), frag)

@@ -178,19 +178,38 @@ class FLAG(nn.Module):
         x, h, vec, mask, nl = self.encode(batch)
         new_pos, _, _ = self._sr_forces(h[:, :nl], h[:, nl:], batch)
         if clash_push:
-            diff = new_pos[:, :, None] - batch.rec_pos[:, None]  # [B,NL,NR,3]
-            d = jnp.sqrt(jnp.sum(diff ** 2, -1) + 1e-12)
-            overlap = jnp.maximum(0.0, 2.7 - d) * batch.rec_mask[:, None]
-            push = jnp.sum((overlap / d)[..., None] * diff, axis=2)
-            push = push * batch.ctx_mask[..., None]
-            # RIGID translation by the mean push: per-atom pushes stretch
-            # bonds (measured: JSD_BL 0.375 -> 0.544 at clash_push 0.4);
-            # translating the molecule whole preserves internal geometry
-            # and lets the learned sr forces do the local work
+            # threshold 3.25 A = the evaluator's own clash band upper
+            # bound (vdW sum - 0.4 tolerance: 3.0 for C-C, 3.2 for S/P,
+            # tools/geometry.py detect_clash). The r3 value of 2.7 let
+            # atoms settle at 2.7-3.2 A and still count as clashes.
+            thr = 3.25
+
+            def _push(pos):
+                diff = pos[:, :, None] - batch.rec_pos[:, None]
+                d = jnp.sqrt(jnp.sum(diff ** 2, -1) + 1e-12)
+                overlap = jnp.maximum(0.0, thr - d) * batch.rec_mask[:, None]
+                p = jnp.sum((overlap / d)[..., None] * diff, axis=2)
+                return p * batch.ctx_mask[..., None]
+
+            # RIGID translation by the mean push first: per-atom pushes
+            # stretch bonds (measured: JSD_BL 0.375 -> 0.544 at
+            # clash_push 0.4); translating the molecule whole preserves
+            # internal geometry and lets the learned sr forces do the
+            # local work
+            push = _push(new_pos)
             n_atoms = jnp.maximum(batch.ctx_mask.sum(-1, keepdims=True), 1)
             rigid = push.sum(1) / n_atoms                       # [B, 3]
             new_pos = new_pos + clash_push * rigid[:, None] \
                 * batch.ctx_mask[..., None]
+            # then a SMALL per-atom residual for overlaps a rigid move
+            # cannot fix (wrap-around pockets): capped at 0.3 A per
+            # iteration so the sr forces (next iteration) can re-relax
+            # the local geometry; mol-level clash demands EVERY atom
+            # clear the band
+            res = _push(new_pos) * 0.5
+            nrm = jnp.sqrt(jnp.sum(res ** 2, -1, keepdims=True) + 1e-12)
+            res = res * jnp.minimum(1.0, 0.3 / nrm)
+            new_pos = new_pos + res
         return new_pos
 
     def motif_logits(self, h_lig, batch: FLAGBatch):

@@ -339,8 +339,11 @@ def _flag_grow(base_sample: dict, vocab: MotifVocab, seed: int = 0,
     if steric:
         # the 0.8-centering can bury the seed motif inside the receptor
         # (measured r3: nearest-protein 0.85 A vs the crystal's 2.97);
-        # push it rigidly out to vdW contact before growth starts
-        new_pos = _push_clear(new_pos, rec_pos, min_d=2.4)
+        # push it rigidly out past the evaluator's clash band before
+        # growth starts (vdW sum - 0.4 tolerance = 3.0 A for C-C, 3.2
+        # for S/P pairs, tools/geometry.py detect_clash — the first q4
+        # run pushed to 2.4 and survivors still read 99.6% clashed)
+        new_pos = _push_clear(new_pos, rec_pos, min_d=3.25)
 
     st.pos = new_pos.astype(np.float32)
     st.atype = np.asarray(t_atype, np.int32)
@@ -469,12 +472,14 @@ def _flag_grow(base_sample: dict, vocab: MotifVocab, seed: int = 0,
             d[0, attach] = np.inf          # the graft bond itself
             lig_c = float(d.min())
             if steric:
-                # receptor clearance on the same scale: 2.0 A to the
-                # protein counts like 1.0 A to the ligand (vdW contact
-                # vs covalent-neighbor distance)
+                # receptor clearance on the same scale: 3.25 A to the
+                # protein counts like 1.0 A to the ligand — below 3.25
+                # the evaluator's vdW criterion reads a clash (the
+                # earlier 2.0 A equivalence point left placements inside
+                # the clash band)
                 rec_c = float(np.linalg.norm(
                     np_[:, None] - rec_pos[None], axis=-1).min())
-                return min(lig_c, rec_c - 1.0)
+                return min(lig_c, rec_c - 2.25)
             return lig_c
 
         def _reorient(np_, new_dir):

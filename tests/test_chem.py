@@ -93,3 +93,27 @@ def test_rings_benzene():
     rings = mol.rings()
     assert any(len(r) == 6 for r in rings)
     assert all(cls == 4 for cls in mol.bonds.values())
+
+
+def test_declash_pose_clears_vdw_band_and_preserves_bonds():
+    import numpy as np
+    from cbgbench_tpu.chem.declash import declash_pose, CLEAR_DIST
+    from cbgbench_tpu.chem.mol import Molecule
+
+    # ethane-like pair 1.5 A apart, rammed 1.8 A from a receptor wall
+    pos = np.array([[0.0, 0.0, 0.0], [1.5, 0.0, 0.0]], np.float32)
+    mol = Molecule(np.array([6, 6]), pos, bonds={(0, 1): 1})
+    rec = np.array([[0.0, 1.8, 0.0], [1.5, 1.8, 0.0], [-2.0, 1.8, 0.0]])
+    out = declash_pose(mol, rec)
+    d = np.linalg.norm(out.pos[:, None] - rec[None], axis=-1)
+    assert d.min() >= CLEAR_DIST - 1e-6, d.min()
+    # the per-atom residual may stretch bonds; the CLI pipeline follows
+    # with project_stable_pose, which must bring them back to a stable
+    # C-C window
+    from cbgbench_tpu.chem.project import project_stable_pose
+    fixed = project_stable_pose(out)
+    bond = np.linalg.norm(fixed.pos[0] - fixed.pos[1])
+    assert 1.2 < bond < 1.75, bond
+    # no receptor: identity
+    out2 = declash_pose(mol, np.zeros((0, 3)))
+    np.testing.assert_allclose(out2.pos, mol.pos)
