@@ -117,3 +117,25 @@ def test_declash_pose_clears_vdw_band_and_preserves_bonds():
     # no receptor: identity
     out2 = declash_pose(mol, np.zeros((0, 3)))
     np.testing.assert_allclose(out2.pos, mol.pos)
+
+
+def test_declash_shake_preserves_bond_lengths():
+    import numpy as np
+    from cbgbench_tpu.chem.declash import declash_pose_shake, CLEAR_DIST
+    from cbgbench_tpu.chem.mol import Molecule
+
+    rng = np.random.default_rng(5)
+    # 6-atom chain rammed against a receptor plane
+    pos = np.cumsum(rng.normal(scale=0.5, size=(6, 3)) + [1.4, 0, 0],
+                    axis=0).astype(np.float32)
+    bonds = {(i, i + 1): 1 for i in range(5)}
+    mol = Molecule(np.full(6, 6), pos, bonds=bonds)
+    rec = pos.mean(0) + np.array([[0.0, 1.5, 0.0], [1.0, 1.5, 0.0],
+                                  [-1.0, 1.5, 0.0], [0.0, 1.5, 1.0]])
+    d0 = {b: np.linalg.norm(pos[b[0]] - pos[b[1]]) for b in bonds}
+    out = declash_pose_shake(mol, rec)
+    d = np.linalg.norm(out.pos[:, None] - rec[None], axis=-1)
+    assert d.min() >= CLEAR_DIST - 0.05, d.min()
+    for b, v in d0.items():
+        dn = np.linalg.norm(out.pos[b[0]] - out.pos[b[1]])
+        assert abs(dn - v) < 0.05, (b, v, dn)
