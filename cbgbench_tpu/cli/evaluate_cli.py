@@ -65,7 +65,7 @@ def _evaluate_pocket(args) -> dict:
            "vina_rows": defaultdict(list), "vina_imp": defaultdict(list),
            "vina_delta": defaultdict(list), "vina_ligeff": [],
            "vina_native": [], "vina_native_imp": [],
-           "vina_native_delta": []}
+           "vina_native_delta": [], "vina_native_min": []}
     sdfs = sorted(glob.glob(os.path.join(pd, "*.sdf")))
     p_atoms = rec_typing = None
     if protein_pdb and os.path.exists(protein_pdb):
@@ -126,9 +126,16 @@ def _evaluate_pocket(args) -> dict:
             # native score-only affinity: always computable (no binary);
             # reported separately, flagged approximate
             try:
+                from ..tools.vina_native import minimize_rigid as _vmin
                 from ..tools.vina_native import score_only as _vsn
                 aff = _vsn(mol, p_atoms.pos, rec_typing)["affinity"]
                 out["vina_native"].append(aff)
+                # native 'minimize' column (rigid local optimization of
+                # the same function; the binary's BFGS also relaxes
+                # torsions — approximate like score_only)
+                out["vina_native_min"].append(
+                    _vmin(mol, p_atoms.pos, rec_typing,
+                          steps=40)["affinity"])
                 if ref_native is not None and ref_native < 0:
                     out["vina_native_imp"].append(
                         (aff - ref_native) / ref_native)
@@ -227,6 +234,7 @@ def evaluate_folder(result_root: str, num_samples: int = None,
     vina_delta = defaultdict(list)     # mode -> gen < ref indicator
     vina_ligeff = []
     vina_native_rows, vina_native_imp, vina_native_delta = [], [], []
+    vina_native_min_rows = []
     n_total_slots = 0
     for pd in pocket_dirs:
         head = os.path.basename(pd).split("_", 1)[0]
@@ -244,6 +252,7 @@ def evaluate_folder(result_root: str, num_samples: int = None,
                 agg[mode].extend(vals)
         vina_ligeff.extend(res["vina_ligeff"])
         vina_native_rows.extend(res.get("vina_native", []))
+        vina_native_min_rows.extend(res.get("vina_native_min", []))
         vina_native_imp.extend(res.get("vina_native_imp", []))
         vina_native_delta.extend(res.get("vina_native_delta", []))
         # per-pocket interaction JSD/MAE vs the reference ligand
@@ -329,6 +338,9 @@ def evaluate_folder(result_root: str, num_samples: int = None,
     report["vina_native_delta_binding_pct"] = (
         float(np.mean(vina_native_delta) * 100)
         if vina_native_delta else None)
+    report["vina_minimize_native_mean"] = (
+        float(np.mean(vina_native_min_rows))
+        if vina_native_min_rows else None)
     report["vina_native_approximate"] = True
     return report
 

@@ -322,3 +322,120 @@ def score_only_pdb(mol: Molecule, protein_pdb: str) -> Optional[Dict[str, float]
     except Exception:
         return None
     return score_only(mol, pocket.pos, typing_from_pocket(pocket))
+
+
+def _rotate_aa(pos: np.ndarray, center: np.ndarray,
+               w: np.ndarray) -> np.ndarray:
+    """Axis-angle rotation of pos about center (Rodrigues)."""
+    theta = float(np.linalg.norm(w))
+    if theta < 1e-12:
+        return pos.copy()
+    k = w / theta
+    p = pos - center
+    return (p * np.cos(theta)
+            + np.cross(k, p) * np.sin(theta)
+            + k[None] * (p @ k)[:, None] * (1 - np.cos(theta))) + center
+
+
+def minimize_rigid(mol: Molecule, rec_pos: np.ndarray,
+                   rec_typing: Dict[str, np.ndarray],
+                   steps: int = 60) -> Dict[str, float]:
+    """Rigid-body local minimization of the Vina inter energy
+    (approximates ``vina --local_only``: the binary's BFGS also relaxes
+    torsions; the rigid 6-DOF version needs no torsion tree and keeps
+    the generator's internal geometry untouched). Numeric central-
+    difference gradient over (translation, axis-angle) with an adaptive
+    step, monotone by construction. Returns the score-only breakdown of
+    the minimized pose plus ``affinity_before`` and the rigid
+    displacement applied.
+
+    Reference protocol: repo/tools/docking_vina.py:137-151 runs
+    score_only / minimize / dock; this provides the native 'minimize'
+    column (flagged approximate like score_only)."""
+    lt = ligand_typing(mol)
+    pos0 = np.asarray(mol.pos, float)
+    rec_pos = np.asarray(rec_pos, float)
+    center = pos0.mean(0)
+    # receptor subset: only atoms that can ever enter the 8 Å cutoff
+    # during a local move (ligand radius + cutoff + 4 Å drift margin) —
+    # ~4x fewer pairs per energy call on real pockets, exact result
+    reach = (float(np.linalg.norm(pos0 - center, axis=-1).max())
+             + CUTOFF + 4.0)
+    near = np.linalg.norm(rec_pos - center, axis=-1) < reach
+    rec_pos = rec_pos[near]
+    rec_typing = {k: np.asarray(v)[near] for k, v in rec_typing.items()}
+
+    # precompute the masked pair matrices once (typing never changes)
+    lm = lt["heavy"]
+    rm = rec_typing["heavy"]
+    lp0 = pos0[lm]
+    rp = rec_pos[rm]
+    lr_rad = lt["radius"][lm]
+    rr_rad = rec_typing["radius"][rm]
+    hyd_pair = (lt["hydrophobic"][lm][:, None]
+                & rec_typing["hydrophobic"][rm][None, :])
+    hb_pair = ((lt["donor"][lm][:, None]
+                & rec_typing["acceptor"][rm][None, :])
+               | (lt["acceptor"][lm][:, None]
+                  & rec_typing["donor"][rm][None, :]))
+    rad_sum = lr_rad[:, None] + rr_rad[None, :]
+
+    def energy_batch(poses):
+        """poses [P, L_heavy, 3] -> [P] weighted inter energies — one
+        vectorized pairwise pass for all gradient probes."""
+        diff = poses[:, :, None, :] - rp[None, None]
+        r = np.sqrt(np.sum(diff * diff, -1))            # [P, L, R]
+        within = r < CUTOFF
+        d = r - rad_sum[None]
+        e = (W_GAUSS1 * term_gauss1(d) + W_GAUSS2 * term_gauss2(d)
+             + W_REPULSION * term_repulsion(d)
+             + W_HYDROPHOBIC * term_hydrophobic(d) * hyd_pair[None]
+             + W_HBOND * term_hbond(d) * hb_pair[None])
+        return np.sum(e * within, axis=(1, 2))
+
+    def pose(t, w):
+        return _rotate_aa(lp0, center, w) + t
+
+    t = np.zeros(3)
+    w = np.zeros(3)
+    e = float(energy_batch(pose(t, w)[None])[0])
+    e_start = e
+    lr = 0.05
+    h = 1e-3
+    eye = np.eye(3) * h
+    for _ in range(steps):
+        probes = []
+        for i in range(3):
+            probes.append(pose(t + eye[i], w))
+            probes.append(pose(t - eye[i], w))
+            probes.append(pose(t, w + eye[i]))
+            probes.append(pose(t, w - eye[i]))
+        ev = energy_batch(np.stack(probes))             # [12]
+        g = np.array([(ev[4 * i] - ev[4 * i + 1]) / (2 * h)
+                      for i in range(3)]
+                     + [(ev[4 * i + 2] - ev[4 * i + 3]) / (2 * h)
+                        for i in range(3)])
+        nrm = float(np.linalg.norm(g))
+        if nrm < 1e-7:
+            break
+        cand_t = t - lr * g[:3] / nrm
+        cand_w = w - lr * g[3:] / nrm
+        e_cand = float(energy_batch(pose(cand_t, cand_w)[None])[0])
+        if e_cand < e:
+            t, w, e = cand_t, cand_w, e_cand
+            lr = min(lr * 1.3, 0.4)
+        else:
+            lr *= 0.5
+            if lr < 1e-4:
+                break
+
+    final = Molecule(mol.atomic_numbers,
+                     (_rotate_aa(pos0, center, w) + t).astype(np.float32),
+                     bonds=dict(mol.bonds), aromatic=mol.aromatic,
+                     name=mol.name)
+    out = score_only(final, rec_pos, rec_typing)
+    out["affinity_before"] = float(
+        e_start / (1.0 + W_ROT * out["n_rot"]))
+    out["rigid_shift"] = float(np.linalg.norm(t))
+    out["rigid_rot_rad"] = float(np.linalg.norm(w))
+    return out

@@ -205,3 +205,38 @@ def test_tensor_parallel_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(state_1.params),
                     jax.tree.leaves(state_tp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-5)
+
+
+def test_tensor_parallel_reduces_per_device_param_memory():
+    """r3 verdict: TP was correctness-tested only; pin that the megatron
+    layout actually SHARDS memory — per-device parameter bytes under
+    dp4xtp2 must be well below the replicated footprint (most kernels
+    are [*, D] with D % 2 == 0 and split their output dim)."""
+    import jax
+    import numpy as np
+    from cbgbench_tpu.parallel.mesh import (make_mesh, shard_params,
+                                            shard_params_tp)
+    from cbgbench_tpu.models.targetdiff import TargetDiff
+    from cbgbench_tpu.data.batch import synthetic_batch
+    import jax.numpy as jnp
+
+    model = TargetDiff(num_classes=8, num_timesteps=10, emb_dim=32,
+                       num_layers=2, n_heads=4, k=4)
+    batch = synthetic_batch(0, batch_size=4, n_lig=6, n_rec=20,
+                            num_atom_types=8, lig_cap=8, rec_cap=24)
+    rng = jax.random.PRNGKey(0)
+    t0 = jnp.zeros((4,), jnp.int32)
+    params = jax.jit(model.init)(rng, batch, t0, rng)
+
+    def per_device_bytes(tree):
+        total = 0
+        for leaf in jax.tree.leaves(tree):
+            total += max(s.data.nbytes for s in leaf.addressable_shards)
+        return total
+
+    mesh = make_mesh(data=4, model=2)
+    total = sum(l.nbytes for l in jax.tree.leaves(params))
+    rep = per_device_bytes(shard_params(params, mesh))
+    tp = per_device_bytes(shard_params_tp(params, mesh))
+    assert rep == total, (rep, total)
+    assert tp < 0.72 * total, (tp, total, tp / total)

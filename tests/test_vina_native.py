@@ -227,3 +227,33 @@ def test_crystal_ligand_affinity_band(target, pdb, sdf):
     assert out["n_rot"] >= 1
     # crystal poses should not be repulsion-dominated
     assert vn.W_REPULSION * out["repulsion"] < abs(out["inter"])
+
+
+def test_minimize_rigid_monotone_and_recovers_perturbation():
+    """Rigid local minimization must never worsen the inter energy, and
+    must recover most of the affinity lost to a small rigid perturbation
+    of a crystal pose."""
+    import numpy as np
+    pdir = os.path.join(EX, "Eg5")
+    if not os.path.isdir(pdir):
+        pytest.skip("fixtures not present")
+    mols = read_sdf(os.path.join(pdir, "3zcw_ligand.sdf"))
+    pocket, _ = parse_pdb_pocket(os.path.join(pdir, "3zcw_protein.pdb"))
+    typing = vn.typing_from_pocket(pocket)
+    crystal = vn.score_only(mols[0], pocket.pos, typing)["affinity"]
+
+    # perturb: 0.6 A translation
+    m = mols[0]
+    from cbgbench_tpu.chem.mol import Molecule
+    pert = Molecule(m.atomic_numbers,
+                    (np.asarray(m.pos) + np.array([0.4, -0.3, 0.25],
+                                                  np.float32)),
+                    bonds=dict(m.bonds), aromatic=m.aromatic)
+    before = vn.score_only(pert, pocket.pos, typing)["affinity"]
+    out = vn.minimize_rigid(pert, pocket.pos, typing, steps=50)
+    assert out["affinity"] <= before + 1e-6, (out["affinity"], before)
+    # recover at least half of the perturbation loss (local minimum may
+    # differ slightly from the crystal pose)
+    assert out["affinity"] <= crystal + 0.5 * abs(before - crystal) + 0.3, (
+        crystal, before, out["affinity"])
+    assert out["rigid_shift"] < 2.0
