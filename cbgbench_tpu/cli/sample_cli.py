@@ -341,12 +341,14 @@ def main(argv=None):
                     except Exception:
                         ok = False
                     if ok:
+                        # project first, SHAKE declash last (see the
+                        # generic path note)
+                        if args.project_stable:
+                            frag = project_stable_pose(frag)
                         if args.declash and rp_full is not None:
                             from ..chem.declash import declash_pose_shake
                             frag = declash_pose_shake(
                                 frag, rp_full, iters=2 * args.declash)
-                        if args.project_stable:
-                            frag = project_stable_pose(frag)
                         write_sdf(os.path.join(out_dir, f"{n_valid}.sdf"),
                                   frag)
                         mols.append(frag)
@@ -381,12 +383,16 @@ def main(argv=None):
                 except Exception:
                     ok = False
                 if ok:
+                    # order: projection FIRST (it moves atoms toward the
+                    # stability tables and re-enters the pocket — the
+                    # q4_flag_steric3 run with declash-then-project read
+                    # mol clash 0.94), SHAKE declash LAST (it preserves
+                    # whatever bond lengths precede it while clearing
+                    # the vdW band; GraphBP measured clash 0.895 ->
+                    # 0.089 at JSD_BL 0.744 -> 0.747)
+                    if args.project_stable:
+                        frag = project_stable_pose(frag)
                     if args.declash:
-                        # SHAKE variant: steric pushes alternating with
-                        # bond-length restoration to the generator's own
-                        # lengths — JSD_BL unchanged while clearing the
-                        # vdW band (measured: GraphBP mol clash 0.895 ->
-                        # 0.089 at JSD_BL 0.744 -> 0.747)
                         from ..chem.declash import declash_pose_shake
                         if rp_full is not None:
                             rp = rp_full
@@ -400,8 +406,6 @@ def main(argv=None):
                             rp = np.zeros((0, 3))
                         frag = declash_pose_shake(frag, rp,
                                                   iters=2 * args.declash)
-                    if args.project_stable:
-                        frag = project_stable_pose(frag)
                     write_sdf(os.path.join(out_dir, f"{n_valid}.sdf"), frag)
                     mols.append(frag)
                     n_valid += 1

@@ -248,3 +248,35 @@ def test_sample_timesteps_ladders():
     assert ts[0] == 999 and ts[-1] == 0
     assert (np.diff(ts) < 0).all()
     assert 90 <= len(ts) <= 100
+
+
+def test_denoise_with_knn_cache_matches_plain():
+    """The sampler's static-receptor kNN cache must be transparent: a
+    denoise step with knn_cache gives the same outputs as the plain
+    per-step kNN (same graph selection; distances differ only by XLA
+    fusion rounding ~1e-6)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cbgbench_tpu.data.batch import synthetic_batch
+    from cbgbench_tpu.models.targetdiff import TargetDiff
+    from cbgbench_tpu.ops.knn import knn_static_candidates
+
+    model = TargetDiff(num_classes=8, num_timesteps=50, emb_dim=32,
+                       num_layers=2, n_heads=4, k=6)
+    batch = synthetic_batch(0, batch_size=2, n_lig=10, n_rec=40,
+                            num_atom_types=8, lig_cap=16, rec_cap=48)
+    rng = jax.random.PRNGKey(0)
+    t = jnp.full((2,), 25, jnp.int32)
+    params = jax.jit(model.init)(rng, batch, t, rng)
+    c = jax.nn.one_hot(batch.ligand.atype, 8)
+    x = batch.ligand.pos
+
+    plain = model.apply(params, x, c, batch, t, method="denoise")
+    cache = knn_static_candidates(batch.protein.pos, batch.protein.mask,
+                                  model.k)
+    cached = model.apply(params, x, c, batch, t, cache, method="denoise")
+    for a, b in zip(jax.tree.leaves(plain), jax.tree.leaves(cached)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-4, rtol=2e-3)
