@@ -133,9 +133,10 @@ def _evaluate_pocket(args) -> dict:
                 # native 'minimize' column (rigid local optimization of
                 # the same function; the binary's BFGS also relaxes
                 # torsions — approximate like score_only)
-                out["vina_native_min"].append(
-                    _vmin(mol, p_atoms.pos, rec_typing,
-                          steps=40)["affinity"])
+                if not os.environ.get("CBG_SKIP_VINA_MIN"):
+                    out["vina_native_min"].append(
+                        _vmin(mol, p_atoms.pos, rec_typing,
+                              steps=40)["affinity"])
                 if ref_native is not None and ref_native < 0:
                     out["vina_native_imp"].append(
                         (aff - ref_native) / ref_native)
@@ -372,6 +373,9 @@ def main(argv=None):
     p.add_argument("--vina", action="store_true",
                    help="run Vina score_only/minimize/dock when the "
                         "toolchain (vina+meeko+obabel) is installed")
+    p.add_argument("--no_vina_min", action="store_true",
+                   help="skip the native rigid-minimize column "
+                        "(~1.4 s/molecule; score-only stays)")
     p.add_argument("--workers", type=int, default=0,
                    help="per-pocket multiprocessing fan-out (reference: "
                         "evaluate_*_folder.py pools)")
@@ -380,6 +384,8 @@ def main(argv=None):
 
     protein_lookup = (build_protein_lookup(args.protein_root)
                       if args.protein_root else None)
+    if args.no_vina_min:
+        os.environ["CBG_SKIP_VINA_MIN"] = "1"
     report = evaluate_folder(args.result_root, args.num_samples,
                              protein_lookup, run_vina=args.vina,
                              workers=args.workers)
