@@ -73,16 +73,34 @@ def bond_target_window(s1: str, s2: str, order: int
 
 def project_stable_pose(mol: Molecule, n_iter: int = 150,
                         step: float = 0.2, anchor: float = 0.02,
-                        nb_pad: float = 0.03) -> Molecule:
+                        nb_pad: float = 0.03,
+                        rec_pos=None, rec_clear: float = 3.25) -> Molecule:
     """Return a copy of ``mol`` with positions projected onto the
     stability windows of its assigned bond graph. Bonds, elements and
     atom order are unchanged; positions move by a few hundredths of an A.
 
     nb_pad: extra clearance (A) demanded beyond the order-1 boundary for
-    non-bonded pairs."""
+    non-bonded pairs.
+
+    rec_pos: optional receptor atom positions — adds a clearance hinge
+    (distance >= rec_clear, the evaluator's vdW clash band upper bound,
+    chem.declash.CLEAR_DIST) INTO the same least-squares solve. This is
+    the measured-correct composition of --project_stable + --declash:
+    solving stability and protein clearance jointly reaches both at once
+    (q2d 200-mol sweep: mol_stable 0.98 / clash 0.00 at anchor 0.005),
+    where sequential project-then-SHAKE lost stability to bond-restore
+    drift (0.59) and SHAKE-then-project re-entered the pocket (clash
+    0.94, results/q4_flag_steric3). When rec_pos is given the defaults
+    tighten to n_iter=600 / anchor=0.005 unless the caller overrides."""
     n = mol.num_atoms
     if n < 2:
         return mol
+    if rec_pos is not None:
+        # joint-solve defaults (see docstring); explicit args still win
+        if n_iter == 150:
+            n_iter = 600
+        if anchor == 0.02:
+            anchor = 0.005
     pos0 = np.asarray(mol.pos, float)
     syms = mol.symbols()
 
@@ -113,6 +131,16 @@ def project_stable_pose(mol: Molecule, n_iter: int = 150,
                 lb[a, b] = lb[b, a] = (b1 + _MARGIN1) / 100.0 + nb_pad
     np.fill_diagonal(bonded, True)      # exclude self-pairs below
 
+    rec = None
+    if rec_pos is not None:
+        rec = np.asarray(rec_pos, float)
+        # only receptor atoms near the ligand's bounding box matter
+        near = (np.abs(rec - pos0.mean(0))
+                < (np.abs(pos0 - pos0.mean(0)).max(0) + 8.0)).all(1)
+        rec = rec[near]
+        if rec.size == 0:
+            rec = None
+
     pos = pos0.copy()
     eye = np.eye(n, dtype=bool)
     for _ in range(n_iter):
@@ -131,6 +159,12 @@ def project_stable_pose(mol: Molecule, n_iter: int = 150,
         dm = np.where(eye, np.inf, np.maximum(dm, 1e-6))
         viol = np.where(~bonded & (dm < lb), dm - lb, 0.0)
         grad += np.sum((viol / dm)[..., None] * diff, axis=1)
+        # receptor clearance hinge (joint declash)
+        if rec is not None:
+            rdiff = pos[:, None] - rec[None]
+            rd = np.maximum(np.linalg.norm(rdiff, axis=-1), 1e-6)
+            rviol = np.where(rd < rec_clear, rd - rec_clear, 0.0)
+            grad += np.sum((rviol / rd)[..., None] * rdiff, axis=1)
         # anchor to the sampled pose
         grad += anchor * (pos - pos0)
         if float(np.abs(grad).max()) < 1e-5:

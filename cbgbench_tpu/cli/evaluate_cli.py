@@ -65,7 +65,9 @@ def _evaluate_pocket(args) -> dict:
            "vina_rows": defaultdict(list), "vina_imp": defaultdict(list),
            "vina_delta": defaultdict(list), "vina_ligeff": [],
            "vina_native": [], "vina_native_imp": [],
-           "vina_native_delta": [], "vina_native_min": []}
+           "vina_native_delta": [], "vina_native_min": [],
+           "vina_dock_native": [], "vina_dock_imp": [],
+           "vina_dock_delta": [], "vina_dock_rmsd": []}
     sdfs = sorted(glob.glob(os.path.join(pd, "*.sdf")))
     p_atoms = rec_typing = None
     if protein_pdb and os.path.exists(protein_pdb):
@@ -159,6 +161,39 @@ def _evaluate_pocket(args) -> dict:
                 out["pocket_n"] += 1
             except Exception:
                 pass
+    # native 'dock' column (Monte-Carlo search over the same scoring
+    # function; reference runs dock at exhaustiveness 16 —
+    # repo/tools/docking_vina.py:250-273). Expensive (~seconds/molecule),
+    # so gated on CBG_VINA_DOCK_NATIVE=<exhaustiveness>; the receptor
+    # grid maps are built once per pocket and shared by every molecule.
+    exh = int(os.environ.get("CBG_VINA_DOCK_NATIVE", "0") or 0)
+    if exh > 0 and rec_typing is not None and out["mols"]:
+        try:
+            from ..tools.vina_dock import dock, make_pocket_grid
+            all_pos = [m.pos for m in out["mols"]]
+            if ref_mol is not None:
+                all_pos.append(ref_mol.pos)
+            grid = make_pocket_grid(p_atoms.pos, rec_typing, all_pos)
+            ref_dock = None
+            if ref_mol is not None:
+                ref_dock = dock(ref_mol, p_atoms.pos, rec_typing,
+                                exhaustiveness=exh, grid=grid,
+                                seed=0)["affinity"]
+            for mi, mol in enumerate(out["mols"]):
+                try:
+                    dr = dock(mol, p_atoms.pos, rec_typing,
+                              exhaustiveness=exh, grid=grid, seed=mi)
+                    out["vina_dock_native"].append(dr["affinity"])
+                    out["vina_dock_rmsd"].append(dr["rmsd_from_input"])
+                    if ref_dock is not None and ref_dock < 0:
+                        out["vina_dock_imp"].append(
+                            (dr["affinity"] - ref_dock) / ref_dock)
+                        out["vina_dock_delta"].append(
+                            float(dr["affinity"] < ref_dock))
+                except Exception:
+                    pass
+        except Exception:
+            pass
     return out
 
 
@@ -236,6 +271,8 @@ def evaluate_folder(result_root: str, num_samples: int = None,
     vina_ligeff = []
     vina_native_rows, vina_native_imp, vina_native_delta = [], [], []
     vina_native_min_rows = []
+    vina_dock_rows, vina_dock_imp = [], []
+    vina_dock_delta, vina_dock_rmsd = [], []
     n_total_slots = 0
     for pd in pocket_dirs:
         head = os.path.basename(pd).split("_", 1)[0]
@@ -256,6 +293,10 @@ def evaluate_folder(result_root: str, num_samples: int = None,
         vina_native_min_rows.extend(res.get("vina_native_min", []))
         vina_native_imp.extend(res.get("vina_native_imp", []))
         vina_native_delta.extend(res.get("vina_native_delta", []))
+        vina_dock_rows.extend(res.get("vina_dock_native", []))
+        vina_dock_imp.extend(res.get("vina_dock_imp", []))
+        vina_dock_delta.extend(res.get("vina_dock_delta", []))
+        vina_dock_rmsd.extend(res.get("vina_dock_rmsd", []))
         # per-pocket interaction JSD/MAE vs the reference ligand
         # (reference: cal_intera_results.py:26-47)
         if res["ref_inter"] is not None and res["pocket_n"] > 0:
@@ -342,6 +383,14 @@ def evaluate_folder(result_root: str, num_samples: int = None,
     report["vina_minimize_native_mean"] = (
         float(np.mean(vina_native_min_rows))
         if vina_native_min_rows else None)
+    report["vina_dock_native_mean"] = (
+        float(np.mean(vina_dock_rows)) if vina_dock_rows else None)
+    report["vina_dock_native_improvement_pct"] = (
+        float(np.mean(vina_dock_imp) * 100) if vina_dock_imp else None)
+    report["vina_dock_native_delta_binding_pct"] = (
+        float(np.mean(vina_dock_delta) * 100) if vina_dock_delta else None)
+    report["vina_dock_native_rmsd_mean"] = (
+        float(np.mean(vina_dock_rmsd)) if vina_dock_rmsd else None)
     report["vina_native_approximate"] = True
     return report
 
@@ -376,6 +425,11 @@ def main(argv=None):
     p.add_argument("--no_vina_min", action="store_true",
                    help="skip the native rigid-minimize column "
                         "(~1.4 s/molecule; score-only stays)")
+    p.add_argument("--vina_dock", type=int, default=0, metavar="EXH",
+                   help="run the native Monte-Carlo dock column at this "
+                        "exhaustiveness (0 = off; the reference protocol "
+                        "uses 16 — docking_vina.py:250; ~seconds per "
+                        "molecule per unit of exhaustiveness)")
     p.add_argument("--workers", type=int, default=0,
                    help="per-pocket multiprocessing fan-out (reference: "
                         "evaluate_*_folder.py pools)")
@@ -386,6 +440,8 @@ def main(argv=None):
                       if args.protein_root else None)
     if args.no_vina_min:
         os.environ["CBG_SKIP_VINA_MIN"] = "1"
+    if args.vina_dock:
+        os.environ["CBG_VINA_DOCK_NATIVE"] = str(args.vina_dock)
     report = evaluate_folder(args.result_root, args.num_samples,
                              protein_lookup, run_vina=args.vina,
                              workers=args.workers)

@@ -30,7 +30,8 @@ def _register_samplers():
 
 def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
                        batch_size, seed, lig_cap, rec_cap, transform=None,
-                       refine_iters=0, refine_clash=0.0):
+                       refine_iters=0, refine_clash=0.0,
+                       clash_cand=1, clash_min=0.0, flag_steric=False):
     """AR growth sampling (pocket2mol / graphbp): yield (pos, atype, mask)
     numpy arrays per replica batch, in the original coordinate frame.
     When the test transform yields a decomp split (ctx_flag), the kept
@@ -95,18 +96,15 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
                                gen_flag=jnp.zeros_like(gb.gen_flag),
                                is_first_step=jnp.ones(len(samples), bool))
             # min_atoms=12 is the reference default (graphbp.py:227);
-            # molecules completing below it are discarded, not force-grown
-            # clash_cand=8 / clash_min=3.2: protein-clash-avoiding
-            # placement (first of 8 flow draws clearing 3.2 A to the
-            # receptor; r3 survivors clashed at ratio 1.0 with plain
-            # single-draw placement). 3.2 = the largest vdW-sum minus
-            # tolerance the evaluator counts as clash (S/P pairs,
-            # tools/geometry.py detect_clash) — the first q4 run used
-            # 2.9, UNDER the C-C clash threshold of 3.0, and survivors
-            # still read 98% clashed
+            # molecules completing below it are discarded, not force-grown.
+            # clash_cand/clash_min come from the CLI: default 1/0.0 is the
+            # reference's single-draw flow placement; --clash_cand 8
+            # --clash_min 3.2 is the measured steric extension (first of 8
+            # flow draws clearing 3.2 A to the receptor — the evaluator's
+            # largest vdW-sum-minus-tolerance band, S/P pairs).
             out = sample_graphbp(model, params, empty, key,
                                  max_atoms=lig_cap // 2, min_atoms=12,
-                                 clash_cand=8, clash_min=3.2)
+                                 clash_cand=clash_cand, clash_min=clash_min)
             gmask = np.asarray(out["gen_flag"])
             z_raw = np.asarray(out["z"])
             # molecule nodes: generated atoms plus ligand-vocab context
@@ -130,7 +128,8 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
                 seeds=[seed + bi * 997 + s for s in range(bs)],
                 max_steps=12,     # reference default (flag.py:251)
                 lig_cap=min(lig_cap, 64), rec_cap=rec_cap,
-                refine_iters=refine_iters, refine_clash=refine_clash)
+                refine_iters=refine_iters, refine_clash=refine_clash,
+                steric=flag_steric)
             yield ("mols", [m for m in mols if m is not None], bs)
         else:
             raise ValueError(model_type)
@@ -185,6 +184,21 @@ def main(argv=None):
                    help="FLAG: steric-repulsion step size added to each "
                         "refine iteration (parameter-free physics term; "
                         "pushes atoms out of <2.7 A protein overlap)")
+    p.add_argument("--clash_cand", type=int, default=1,
+                   help="GraphBP: flow placement draws per step; the first "
+                        "clearing --clash_min to the receptor wins. 1 "
+                        "(default) = the reference's single-draw placement; "
+                        "8 with --clash_min 3.2 is the measured steric "
+                        "extension (results/q4_graphbp7b)")
+    p.add_argument("--clash_min", type=float, default=0.0,
+                   help="GraphBP: receptor clearance (A) a candidate "
+                        "placement must reach before acceptance (0 = off; "
+                        "use >=3.2 to clear the evaluator's vdW band)")
+    p.add_argument("--flag_steric", action="store_true",
+                   help="FLAG: protein-aware growth extension (seed motif "
+                        "push-out to 3.25 A, steric attachment logits, "
+                        "receptor-aware placement scan — results/"
+                        "q4_flag_steric*). Off = reference-parity growth")
     args = p.parse_args(argv)
 
     if args.device == "cpu":
@@ -308,7 +322,8 @@ def main(argv=None):
                 model_cfg["type"], model, params, ds, i, num_samples,
                 args.batch_size, seed, min(args.lig_cap, 64), args.rec_cap,
                 transform=transform, refine_iters=args.refine_iters,
-                refine_clash=args.refine_clash)
+                refine_clash=args.refine_clash, clash_cand=args.clash_cand,
+                clash_min=args.clash_min, flag_steric=args.flag_steric)
         else:
             batches = None
         if batches is not None:
@@ -383,17 +398,8 @@ def main(argv=None):
                 except Exception:
                     ok = False
                 if ok:
-                    # order: projection FIRST (it moves atoms toward the
-                    # stability tables and re-enters the pocket — the
-                    # q4_flag_steric3 run with declash-then-project read
-                    # mol clash 0.94), SHAKE declash LAST (it preserves
-                    # whatever bond lengths precede it while clearing
-                    # the vdW band; GraphBP measured clash 0.895 ->
-                    # 0.089 at JSD_BL 0.744 -> 0.747)
-                    if args.project_stable:
-                        frag = project_stable_pose(frag)
+                    rp = None
                     if args.declash:
-                        from ..chem.declash import declash_pose_shake
                         if rp_full is not None:
                             rp = rp_full
                         elif rec_sel is not None:
@@ -404,7 +410,23 @@ def main(argv=None):
                                 + np.asarray(batch.translation)[s])
                         else:
                             rp = np.zeros((0, 3))
-                        frag = declash_pose_shake(frag, rp,
+                    if args.project_stable and rp is not None:
+                        # BOTH flags: joint solve — stability windows and
+                        # the receptor-clearance hinge in one projection
+                        # (measured q5: mol_stable 0.98 AND clash 0.00;
+                        # any sequential order loses one side — see
+                        # chem/project.py docstring)
+                        frag = project_stable_pose(frag, rec_pos=rp)
+                    elif args.project_stable:
+                        frag = project_stable_pose(frag)
+                    elif rp is not None:
+                        # declash only: SHAKE preserves the generator's
+                        # bond lengths while clearing the vdW band
+                        # (GraphBP measured clash 0.895 -> 0.089 at
+                        # JSD_BL 0.744 -> 0.747)
+                        from ..chem.declash import declash_pose_shake
+                        frag = declash_pose_shake(frag,
+                                                  rp,
                                                   iters=2 * args.declash)
                     write_sdf(os.path.join(out_dir, f"{n_valid}.sdf"), frag)
                     mols.append(frag)
@@ -424,6 +446,24 @@ def main(argv=None):
         summary.append({"index": int(i), "name": name, "n_samples": n_done,
                         "n_valid": n_valid, "seconds": dt,
                         "warm_mol_per_s": warm_rate})
+    # self-describing artifacts: record any non-default post-processing /
+    # steric-extension flags in the summary itself (not only in run logs)
+    flags = {}
+    if args.project_stable:
+        flags["project_stable"] = True
+    if args.declash:
+        flags["declash"] = int(args.declash)
+    if args.clash_cand != 1 or args.clash_min:
+        flags["clash_cand"], flags["clash_min"] = (int(args.clash_cand),
+                                                   float(args.clash_min))
+    if args.flag_steric:
+        flags["flag_steric"] = True
+    if args.refine_iters or args.refine_clash:
+        flags["refine_iters"] = int(args.refine_iters)
+        flags["refine_clash"] = float(args.refine_clash)
+    if flags:
+        flags["postprocess_flags"] = True   # marker key, skipped by the
+        summary.append(flags)               # denominator reader
     with open(os.path.join(args.out_root, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     return summary

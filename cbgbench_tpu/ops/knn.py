@@ -148,6 +148,13 @@ def knn_neighbors_cached(pos: jnp.ndarray, mask: jnp.ndarray, k: int,
     graph; top-k shrinks from [N, N] rows to [n_dyn, N] + [N_rec, K+n_dyn].
     """
     n = pos.shape[-2]
+    if n > 16 * 256:
+        # the hi/lo one-hot recombination below encodes global indices as
+        # bf16 (idx//16, idx%16) pairs; bf16 integers are exact only to
+        # 256, so indices >= 4096 would silently corrupt (same bound as
+        # the pre10/pre11 kernel packing guards)
+        raise ValueError(f"knn_neighbors_cached: N={n} exceeds the exact "
+                         "bf16 hi/lo index-encoding bound of 4096 nodes")
     nl = n_dyn
     pos_l = pos[:, :nl]
     mask_l = mask[:, :nl]

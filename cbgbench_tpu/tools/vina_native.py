@@ -357,10 +357,12 @@ def minimize_rigid(mol: Molecule, rec_pos: np.ndarray,
     rec_pos = np.asarray(rec_pos, float)
     center = pos0.mean(0)
     # receptor subset: only atoms that can ever enter the 8 Å cutoff
-    # during a local move (ligand radius + cutoff + 4 Å drift margin) —
-    # ~4x fewer pairs per energy call on real pockets, exact result
+    # during a local move (ligand radius + cutoff + DRIFT margin) —
+    # ~4x fewer pairs per energy call on real pockets, exact result;
+    # the optimizer clamps |t| to DRIFT below so the bound really holds
+    DRIFT = 4.0
     reach = (float(np.linalg.norm(pos0 - center, axis=-1).max())
-             + CUTOFF + 4.0)
+             + CUTOFF + DRIFT)
     near = np.linalg.norm(rec_pos - center, axis=-1) < reach
     rec_pos = rec_pos[near]
     rec_typing = {k: np.asarray(v)[near] for k, v in rec_typing.items()}
@@ -419,6 +421,9 @@ def minimize_rigid(mol: Molecule, rec_pos: np.ndarray,
         if nrm < 1e-7:
             break
         cand_t = t - lr * g[:3] / nrm
+        tn = float(np.linalg.norm(cand_t))
+        if tn > DRIFT:          # stay inside the receptor-subset margin
+            cand_t = cand_t * (DRIFT / tn)
         cand_w = w - lr * g[3:] / nrm
         e_cand = float(energy_batch(pose(cand_t, cand_w)[None])[0])
         if e_cand < e:

@@ -115,3 +115,36 @@ def test_projection_aromatic_ring():
         d = float(np.linalg.norm(proj.pos[i] - proj.pos[j]))
         assert _bond_order("C", "C", d) == 1, (i, j, d)
     assert check_stability(proj.pos, proj.atomic_numbers)[0]
+
+
+def test_joint_projection_clears_receptor_and_keeps_stability():
+    """rec_pos path (the --project_stable --declash joint solve): a
+    stable chain shoved into a receptor wall must come out BOTH stable
+    and clear of the 3.25 A clash band, in one projection."""
+    n = 5
+    pos = np.zeros((n, 3))
+    pos[:, 0] = np.arange(n) * 1.5
+    bonds = {(i, i + 1): 1 for i in range(n - 1)}
+    m = Molecule(np.full(n, 6), pos, bonds=bonds)
+    # receptor plane 1.0 A away from atoms 1-3 (deep in the clash band)
+    rec = np.array([[1.5, 1.0, 0.0], [3.0, 1.0, 0.0], [4.5, 1.0, 0.0],
+                    [1.5, 1.0, 1.5], [3.0, 1.0, 1.5]])
+    proj = project_stable_pose(m, rec_pos=rec)
+    d = np.linalg.norm(proj.pos[:, None] - rec[None], axis=-1)
+    assert float(d.min()) >= 3.2, float(d.min())
+    assert check_stability(proj.pos, proj.atomic_numbers)[0]
+    # bond graph and atom order untouched
+    assert proj.bonds == m.bonds
+
+
+def test_joint_projection_defaults_do_not_change_plain_path():
+    """Without rec_pos the function's behavior (defaults included) is the
+    r4 projection — existing artifacts stay reproducible."""
+    n = 4
+    pos = np.zeros((n, 3))
+    pos[:, 0] = np.arange(n) * 1.2   # compressed singles
+    bonds = {(i, i + 1): 1 for i in range(n - 1)}
+    m = Molecule(np.full(n, 6), pos, bonds=bonds)
+    a = project_stable_pose(m)
+    b = project_stable_pose(m, rec_pos=None)
+    np.testing.assert_array_equal(a.pos, b.pos)
