@@ -74,12 +74,15 @@ class MotifVocab:
     def __init__(self):
         self.key_to_id: Dict[str, int] = {}
         self.templates: Dict[int, dict] = {}
+        self.counts: Dict[int, int] = {}   # corpus occurrence frequency
 
     def size(self) -> int:
         return len(self.key_to_id)
 
     def add(self, mol: Molecule, clique: List[int]) -> int:
         key = motif_signature(mol, clique)
+        if key in self.key_to_id:
+            self.counts[self.key_to_id[key]] += 1
         if key not in self.key_to_id:
             wid = len(self.key_to_id)
             self.key_to_id[key] = wid
@@ -107,6 +110,7 @@ class MotifVocab:
                 "bonds": bonds, "key": key,
                 "graft_free_valence": free_val(idx[0]),
             }
+            self.counts[wid] = 1
         return self.key_to_id[key]
 
     def get(self, mol: Molecule, clique: List[int]) -> int:

@@ -31,7 +31,8 @@ def _register_samplers():
 def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
                        batch_size, seed, lig_cap, rec_cap, transform=None,
                        refine_iters=0, refine_clash=0.0,
-                       clash_cand=1, clash_min=0.0, flag_steric=False):
+                       clash_cand=1, clash_min=0.0, flag_steric=False,
+                       motif_prior=0.0):
     """AR growth sampling (pocket2mol / graphbp): yield (pos, atype, mask)
     numpy arrays per replica batch, in the original coordinate frame.
     When the test transform yields a decomp split (ctx_flag), the kept
@@ -129,7 +130,7 @@ def _sample_ar_batches(model_type, model, params, ds, index, num_samples,
                 max_steps=12,     # reference default (flag.py:251)
                 lig_cap=min(lig_cap, 64), rec_cap=rec_cap,
                 refine_iters=refine_iters, refine_clash=refine_clash,
-                steric=flag_steric)
+                steric=flag_steric, motif_prior_alpha=motif_prior)
             yield ("mols", [m for m in mols if m is not None], bs)
         else:
             raise ValueError(model_type)
@@ -194,6 +195,15 @@ def main(argv=None):
                    help="GraphBP: receptor clearance (A) a candidate "
                         "placement must reach before acceptance (0 = off; "
                         "use >=3.2 to clear the evaluator's vdW band)")
+    p.add_argument("--type_temp", type=float, default=1.0,
+                   help="D3FG stage 1: temperature on the predicted FG-type "
+                        "distribution before the D3PM posterior (1 = "
+                        "reference; >1 flattens a mode-collapsed type head)")
+    p.add_argument("--motif_prior", type=float, default=0.0, metavar="ALPHA",
+                   help="FLAG: reweight the top-5 motif draw by the corpus "
+                        "motif-frequency prior^ALPHA (0 = the reference's "
+                        "uniform top-5; composition lever for the "
+                        "hetero-saturation/aromatic-ring QED gap)")
     p.add_argument("--flag_steric", action="store_true",
                    help="FLAG: protein-aware growth extension (seed motif "
                         "push-out to 3.25 A, steric attachment logits, "
@@ -287,7 +297,8 @@ def main(argv=None):
             t_start = time.time()
             pool = run_stage1(model, params, ds, i, num_samples,
                               args.batch_size, args.out_root, rng_seed=seed,
-                              num_steps=args.num_steps)
+                              num_steps=args.num_steps,
+                              type_temp=args.type_temp)
             dt = time.time() - t_start
             log.info("pocket %d: stage-1 FG pool at %s | %.1fs", i, pool, dt)
             summary.append({"index": int(i), "pool": pool, "seconds": dt})
@@ -323,7 +334,8 @@ def main(argv=None):
                 args.batch_size, seed, min(args.lig_cap, 64), args.rec_cap,
                 transform=transform, refine_iters=args.refine_iters,
                 refine_clash=args.refine_clash, clash_cand=args.clash_cand,
-                clash_min=args.clash_min, flag_steric=args.flag_steric)
+                clash_min=args.clash_min, flag_steric=args.flag_steric,
+                motif_prior=args.motif_prior)
         else:
             batches = None
         if batches is not None:
@@ -458,6 +470,8 @@ def main(argv=None):
                                                    float(args.clash_min))
     if args.flag_steric:
         flags["flag_steric"] = True
+    if args.motif_prior:
+        flags["motif_prior"] = float(args.motif_prior)
     if args.refine_iters or args.refine_clash:
         flags["refine_iters"] = int(args.refine_iters)
         flags["refine_clash"] = float(args.refine_clash)

@@ -92,7 +92,9 @@ def _dump_nan_forensics(logdir, model, state, batch, rng, it, log):
 
 
 def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
-                      rec_cap: int, seed: int = 0):
+                      rec_cap: int, seed: int = 0,
+                      graphbp_rollouts: str = None,
+                      rollout_frac: float = 0.5):
     """Infinite batch iterator routed by model family: diffusion models use
     PocketLigandBatch; Pocket2Mol/GraphBP/FLAG/D3FG have their own padded
     builders (the reference's per-model collates)."""
@@ -114,6 +116,7 @@ def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
             for i in order:
                 try:
                     s_ = ds.get(int(i), rng)
+                    s_["_index"] = int(i)      # pocket id for rollout mixing
                     b_ = build(s_, rng)
                 except Exception:
                     continue
@@ -154,13 +157,37 @@ def make_model_loader(model_type: str, ds, batch_size: int, lig_cap: int,
                                        rec_cap=rec_cap))
     if model_type == "graphbp":
         from ..constants.molecule import NUM_ATOM_TYPES_BY_MODE
-        from ..data.graphbp_seq import (build_graphbp_sample,
+        from ..data.graphbp_seq import (build_graphbp_rollout_sample,
+                                        build_graphbp_sample,
                                         stack_graphbp_batch)
         # the vocab offset for protein nodes MUST match the model's
         # num_classes (mode-derived) or embedding lookups go out of range
         n_types = NUM_ATOM_TYPES_BY_MODE[ds.mode]
+        roll_by_pocket = {}
+        if graphbp_rollouts:
+            # scheduled-sampling prefixes (scripts/graphbp_rollouts.py):
+            # p{pocket}_{n}_pos / _types pairs
+            import numpy as _np
+            data = _np.load(graphbp_rollouts)
+            for key in data.files:
+                if not key.endswith("_pos"):
+                    continue
+                pi = int(key.split("_")[0][1:])
+                roll_by_pocket.setdefault(pi, []).append(
+                    (data[key], data[key[:-4] + "_types"]))
+
+        def build_gbp(s_, r):
+            rolls = roll_by_pocket.get(s_.get("_index", -1))
+            if rolls and r.uniform() < rollout_frac:
+                rp, rt = rolls[int(r.integers(0, len(rolls)))]
+                out = build_graphbp_rollout_sample(
+                    s_, rp, rt, r, num_atom_types=n_types, mode=ds.mode)
+                if out is not None:
+                    return out
+            return build_graphbp_sample(s_, r, num_atom_types=n_types)
+
         return generic(
-            lambda s_, r: build_graphbp_sample(s_, r, num_atom_types=n_types),
+            build_gbp,
             lambda b_: stack_graphbp_batch(b_, cap=lig_cap + rec_cap))
     if model_type == "flag":
         from ..data.flag_data import build_flag_sample, stack_flag_batch
@@ -230,6 +257,12 @@ def main(argv=None):
                    help="denoiser implementation override for training "
                         "(UniTransformer models); pallas_pre3 trains "
                         "through the fused kernel's recompute custom_vjp")
+    p.add_argument("--graphbp_rollouts", default=None, metavar="NPZ",
+                   help="GraphBP scheduled-sampling fine-tune: mix "
+                        "model-rollout prefix continuations (from "
+                        "scripts/graphbp_rollouts.py) into the training "
+                        "stream at --rollout_frac")
+    p.add_argument("--rollout_frac", type=float, default=0.5)
     p.add_argument("--no_nan_forensics", action="store_true",
                    help="disable the on-first-NaN grad forensics dump "
                         "(logdir/nan_forensics: per-leaf grad finiteness/"
@@ -288,7 +321,9 @@ def main(argv=None):
     from ..data.prefetch import prefetch
     loader = prefetch(make_model_loader(
         cfg["model"]["type"], ds, train_cfg["batch_size"], args.lig_cap,
-        args.rec_cap, seed=train_cfg.get("seed", 2022)), buffer_size=2)
+        args.rec_cap, seed=train_cfg.get("seed", 2022),
+        graphbp_rollouts=args.graphbp_rollouts,
+        rollout_frac=args.rollout_frac), buffer_size=2)
     val_loader = make_model_loader(cfg["model"]["type"], ds,
                                    train_cfg["batch_size"], args.lig_cap,
                                    args.rec_cap, seed=123)

@@ -185,9 +185,10 @@ class D3FG(nn.Module):
                 + self.loss_weight_fg * loss_dict["fg"])
 
 
-@functools.partial(jax.jit, static_argnames=("model", "unit_stride"))
+@functools.partial(jax.jit,
+                   static_argnames=("model", "unit_stride", "type_temp"))
 def _sample_chunk(model: D3FG, params, batch, carry, t_arr, s_arr,
-                  unit_stride: bool = True):
+                  unit_stride: bool = True, type_temp: float = 1.0):
     """Scan reverse jumps t_arr[i] -> s_arr[i] over frames (pos + SO(3)
     orientation + FG type). unit_stride keeps the reference's unit-step
     machinery; strided ladders use the closed-form jump posteriors
@@ -215,6 +216,14 @@ def _sample_chunk(model: D3FG, params, batch, carry, t_arr, s_arr,
             [c, jnp.zeros(c.shape[:-1] + (NUM_AA_TYPES,))], axis=-1)
         eps_pos, o_next, _, c_pred = model.apply(params, xc, o, c_full,
                                                  batch, t, method="denoise")
+        if type_temp != 1.0:
+            # FG-type diversity lever (VERDICT r4 #6): temperature the
+            # predicted clean-type distribution before the D3PM posterior.
+            # T > 1 flattens a benzene-collapsed head (measured r4:
+            # 142/181 named stage-1 draws were c1ccccc1, NC=O never
+            # drawn); T = 1 is the reference posterior exactly.
+            c_pred = jax.nn.softmax(
+                jnp.log(jnp.maximum(c_pred, 1e-20)) / type_temp, axis=-1)
         if unit_stride:
             xc_next = pos_sched.backward_remove_noise(
                 k1, eps_pos, xc, t, gen, pred_type=model.pos_loss_type)
@@ -237,8 +246,9 @@ def _sample_chunk(model: D3FG, params, batch, carry, t_arr, s_arr,
 
 
 def sample_d3fg(model: D3FG, params, batch, rng, chunk_size: int = 250,
-                num_steps=None):
-    """num_steps < num_timesteps runs a strided fast-sampling ladder."""
+                num_steps=None, type_temp: float = 1.0):
+    """num_steps < num_timesteps runs a strided fast-sampling ladder.
+    type_temp != 1 tempers the FG-type posterior (see _sample_chunk)."""
     from .targetdiff import sample_timesteps
     lig = batch.ligand
     c_in = jax.nn.one_hot(lig.type_fg, model.num_fg_types)
@@ -253,7 +263,8 @@ def sample_d3fg(model: D3FG, params, batch, rng, chunk_size: int = 250,
         carry = _sample_chunk(model, params, batch, carry,
                               jnp.asarray(ts[lo:lo + n]),
                               jnp.asarray(ss[lo:lo + n]),
-                              unit_stride=unit_stride)
+                              unit_stride=unit_stride,
+                              type_temp=type_temp)
         jax.block_until_ready(carry[0])
         lo += n
     xc, o, c, _ = carry

@@ -49,7 +49,7 @@ def prior_fg_sample(protein_residues: dict, rng: np.random.Generator,
 def run_stage1(model, params, dataset, index: int, num_samples: int,
                batch_size: int, out_dir: str, rng_seed: int = 2022,
                fg_cap: int = 24, res_cap: int = 96,
-               num_steps=None) -> str:
+               num_steps=None, type_temp: float = 1.0) -> str:
     """Generate FG sets for one pocket and write the context pool."""
     from ..models.d3fg import sample_d3fg
 
@@ -65,7 +65,7 @@ def run_stage1(model, params, dataset, index: int, num_samples: int,
         batch = stack_fg_batch(samples, fg_cap=fg_cap, res_cap=res_cap)
         out = sample_d3fg(model, params, batch,
                           jax.random.PRNGKey(rng_seed + done),
-                          num_steps=num_steps)
+                          num_steps=num_steps, type_temp=type_temp)
         all_pool += save_ctx_pool(pool_path + ".tmp", out, batch)
         done += bs
     import pickle

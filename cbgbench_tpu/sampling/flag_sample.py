@@ -243,11 +243,26 @@ def _free_valence_sites(st: _GrowState):
 
 
 def _top5_sample(logits: np.ndarray, vocab_n: int,
-                 rng: np.random.Generator) -> int:
-    """Uniform draw from the top-5 classes (reference: flag.py:111-115)."""
+                 rng: np.random.Generator,
+                 prior: Optional[np.ndarray] = None,
+                 prior_alpha: float = 1.0) -> int:
+    """Uniform draw from the top-5 classes (reference: flag.py:111-115).
+
+    With ``prior`` (corpus motif frequencies, MotifVocab.counts), the
+    top-5 draw is reweighted p_i ∝ softmax(logit_i) · prior_i^alpha —
+    the VERDICT r4 #5 composition lever: the reference's uniform top-5
+    flattens the learned distribution, under-selecting the ring motifs
+    whose internal bonds saturate N/O valences (measured q4: generated
+    HBD 4.98 vs the corpus 2.25, aromatic rings 1.1 vs 2.5 — the whole
+    QED gap at matched element composition)."""
     logits = np.asarray(logits[:vocab_n], np.float64)
     top = np.argsort(logits)[::-1][:min(5, vocab_n)]
-    return int(rng.choice(top))
+    if prior is None:
+        return int(rng.choice(top))
+    lg = logits[top] - logits[top].max()
+    w = np.exp(lg) * np.power(np.maximum(prior[top], 1e-9), prior_alpha)
+    w = w / w.sum()
+    return int(rng.choice(top, p=w))
 
 
 def _push_clear(pos: np.ndarray, rec_pos: np.ndarray, min_d: float,
@@ -274,7 +289,9 @@ def _push_clear(pos: np.ndarray, rec_pos: np.ndarray, min_d: float,
 def _flag_grow(base_sample: dict, vocab: MotifVocab, seed: int = 0,
                max_steps: int = 12, lig_cap: int = 64, num_cand: int = 8,
                cand_atoms: int = 48, dm_cap: int = 32,
-               featurize_mode: str = "basic", steric: bool = True):
+               featurize_mode: str = "basic", steric: bool = True,
+               motif_prior: Optional[np.ndarray] = None,
+               prior_alpha: float = 1.0):
     """Coroutine growing ONE ligand. Yields predict requests
     ``(from_protein, sample_dict)`` and receives the 6 per-row head
     outputs of FLAG.predict_step; returns the final Molecule (or None)
@@ -304,7 +321,7 @@ def _flag_grow(base_sample: dict, vocab: MotifVocab, seed: int = 0,
     ml, _lf, pf, *_ = yield request([], vocab_n, from_protein=False)
     focal_rec = int(np.argmax(pf))
     ml, *_ = yield request([focal_rec], vocab_n, from_protein=True)
-    wid0 = _top5_sample(ml, vocab_n, rng)
+    wid0 = _top5_sample(ml, vocab_n, rng, motif_prior, prior_alpha)
     tmpl = vocab.templates.get(wid0)
     if tmpl is None:
         return None
@@ -379,7 +396,8 @@ def _flag_grow(base_sample: dict, vocab: MotifVocab, seed: int = 0,
                 ml[w] = -np.inf
         if not np.isfinite(ml[:vocab_n]).any():
             break
-        next_wid = _top5_sample(ml, vocab_n, rng)
+        next_wid = _top5_sample(ml, vocab_n, rng, motif_prior,
+                                prior_alpha)
         tmpl = vocab.templates.get(next_wid)
         if tmpl is None:
             break
@@ -624,7 +642,8 @@ def sample_flag_batch(model, params, base_sample: dict, vocab: MotifVocab,
                       rec_cap: int = 448, num_cand: int = 8,
                       cand_atoms: int = 48, dm_cap: int = 32,
                       featurize_mode: str = "basic", refine_iters: int = 0,
-                      refine_clash: float = 0.0, steric: bool = True):
+                      refine_clash: float = 0.0, steric: bool = True,
+                      motif_prior_alpha: float = 0.0):
     """Grow len(seeds) ligands concurrently in the same pocket.
 
     Lockstep driver over per-molecule coroutines: each round collects one
@@ -636,10 +655,17 @@ def sample_flag_batch(model, params, base_sample: dict, vocab: MotifVocab,
     gens, live, results = [], {}, [None] * len(seeds)
     cache: dict = {}
     for i, s in enumerate(seeds):
+        prior = None
+        if motif_prior_alpha > 0 and getattr(vocab, 'counts', None):
+            prior = np.zeros(vocab.size())
+            for wid, c in vocab.counts.items():
+                prior[wid] = c
+            prior /= max(prior.sum(), 1e-9)
         g = _flag_grow(base_sample, vocab, seed=s, max_steps=max_steps,
                        lig_cap=lig_cap, num_cand=num_cand,
                        cand_atoms=cand_atoms, dm_cap=dm_cap,
-                       featurize_mode=featurize_mode, steric=steric)
+                       featurize_mode=featurize_mode, steric=steric,
+                       motif_prior=prior, prior_alpha=motif_prior_alpha)
         gens.append(g)
         try:
             live[i] = g.send(None)

@@ -182,6 +182,21 @@ def _rodrigues(pos: np.ndarray, origin: np.ndarray, axis: np.ndarray,
             + k[None] * (p @ k)[:, None] * (1 - np.cos(angle))) + origin
 
 
+def _rodrigues_batch(pos: np.ndarray, origin: np.ndarray, axis: np.ndarray,
+                     angle: np.ndarray) -> np.ndarray:
+    """Per-pose Rodrigues: pos [P,M,3] about origin [P,3] / axis [P,3] by
+    angle [P]. Zero-angle rows pass through exactly."""
+    n = np.linalg.norm(axis, axis=-1, keepdims=True)
+    k = axis / np.maximum(n, 1e-12)                       # [P,3]
+    p = pos - origin[:, None]
+    c = np.cos(angle)[:, None, None]
+    s = np.sin(angle)[:, None, None]
+    kd = np.sum(p * k[:, None], -1, keepdims=True)        # [P,M,1]
+    out = (p * c + np.cross(np.broadcast_to(k[:, None], p.shape), p) * s
+           + k[:, None] * kd * (1 - c))
+    return out + origin[:, None]
+
+
 def apply_torsions(pos0: np.ndarray,
                    tree: List[Tuple[int, int, np.ndarray]],
                    angles: np.ndarray) -> np.ndarray:
@@ -290,6 +305,28 @@ class VinaGrid:
               for k in range(3)]
         self._gx, self._gy, self._gz = ax
 
+    # radial lookup resolution: 0.002 Å (the trilinear grid itself is 0.4
+    # Å, so table quantization is far below the interpolation error)
+    _R_STEP = 0.002
+
+    def _radial_table(self, rad_sum: float, hyd: bool, hb: bool
+                      ) -> np.ndarray:
+        """Combined weighted energy e(r) for one pair class, tabulated
+        over r in [0, CUTOFF). The exp/slope term math runs once per
+        distinct (rad_sum, hyd, hb) class instead of once per grid×atom
+        pair — the difference between ~45 s and ~4 s per channel build."""
+        r = np.arange(0.0, CUTOFF, self._R_STEP)
+        d = r - rad_sum
+        e = (W_GAUSS1 * term_gauss1(d) + W_GAUSS2 * term_gauss2(d)
+             + W_REPULSION * term_repulsion(d))
+        if hyd:
+            e = e + W_HYDROPHOBIC * term_hydrophobic(d)
+        if hb:
+            e = e + W_HBOND * term_hbond(d)
+        out = np.zeros(len(r) + 1, np.float32)   # last slot: r >= CUTOFF
+        out[:len(r)] = e
+        return out
+
     def _build_channel(self, key: Tuple[float, bool, bool, bool]
                        ) -> np.ndarray:
         radius, hyd, don, acc = key
@@ -301,20 +338,34 @@ class VinaGrid:
         hyd_pair = self.r_hyd & bool(hyd)
         hb_pair = ((self.r_acc & bool(don)) | (self.r_don & bool(acc)))
         rad_sum = self.r_rad + radius
+        # group receptor atoms by identical radial profile
+        combos = {}
+        for ri in range(len(self.rp)):
+            ck = (round(float(rad_sum[ri]), 3), bool(hyd_pair[ri]),
+                  bool(hb_pair[ri]))
+            combos.setdefault(ck, []).append(ri)
         yz = np.stack(np.meshgrid(self._gy, self._gz, indexing="ij"),
                       -1).reshape(-1, 2)                     # [ny*nz, 2]
-        for ix in range(nx):                                 # chunk by x
-            pts = np.concatenate(
-                [np.full((len(yz), 1), self._gx[ix]), yz], 1)
-            diff = pts[:, None, :] - self.rp[None]
-            r = np.sqrt(np.sum(diff * diff, -1))             # [P, R]
-            within = r < CUTOFF
-            d = r - rad_sum[None]
-            e = (W_GAUSS1 * term_gauss1(d) + W_GAUSS2 * term_gauss2(d)
-                 + W_REPULSION * term_repulsion(d)
-                 + W_HYDROPHOBIC * term_hydrophobic(d) * hyd_pair[None]
-                 + W_HBOND * term_hbond(d) * hb_pair[None])
-            grid[ix] = np.sum(e * within, -1).reshape(ny, nz)
+        n_slot = int(CUTOFF / self._R_STEP) + 1
+        yz32 = yz.astype(np.float32)
+        for ck, atom_ids in combos.items():
+            table = self._radial_table(*ck)
+            rp = self.rp[atom_ids].astype(np.float32)
+            for ix in range(nx):                             # chunk by x
+                # only receptor atoms within CUTOFF of this x-slice
+                gx = np.float32(self._gx[ix])
+                sl = np.abs(rp[:, 0] - gx) < CUTOFF
+                if not sl.any():
+                    continue
+                rps = rp[sl]
+                diff_yz = yz32[:, None, :] - rps[None, :, 1:]
+                dx = gx - rps[:, 0]
+                r2 = (np.sum(diff_yz * diff_yz, -1)
+                      + (dx * dx)[None, :])                  # [P, R]
+                r = np.sqrt(r2)
+                idx = np.minimum((r * (1.0 / self._R_STEP)).astype(np.int32),
+                                 n_slot - 1)
+                grid[ix] += table[idx].sum(-1).reshape(ny, nz)
         self.channels[key] = grid
         return grid
 
@@ -398,15 +449,32 @@ class _DockProblem:
 
     def pose(self, x: np.ndarray) -> np.ndarray:
         """x = [t(3) | w(3) | torsions(T)] -> positions."""
-        p = apply_torsions(self.pos0, self.tree, x[6:])
-        w = x[3:6]
-        theta = float(np.linalg.norm(w))
-        if theta > 1e-12:
-            p = _rodrigues(p, self.center0, w / theta, theta)
-        return p + x[:3]
+        return self.pose_many(np.asarray(x, float)[None])[0]
+
+    def pose_many(self, xs: np.ndarray) -> np.ndarray:
+        """Batched kinematics: xs [P, 6+T] -> [P, N, 3]. One vectorized
+        Rodrigues per tree bond instead of a python pose() per probe —
+        the difference between ~60 s and ~2 s per docked molecule."""
+        P = xs.shape[0]
+        pos = np.broadcast_to(self.pos0, (P,) + self.pos0.shape).copy()
+        for bi, (a, b, moved) in enumerate(self.tree):
+            ang = xs[:, 6 + bi]
+            if not np.any(np.abs(ang) > 1e-12):
+                continue
+            axis = pos[:, b] - pos[:, a]
+            pos[:, moved] = _rodrigues_batch(pos[:, moved], pos[:, b],
+                                             axis, ang)
+        w = xs[:, 3:6]
+        theta = np.linalg.norm(w, axis=-1)
+        rot = theta > 1e-12
+        if np.any(rot):
+            pos[rot] = _rodrigues_batch(
+                pos[rot], np.broadcast_to(self.center0, (int(rot.sum()), 3)),
+                w[rot], theta[rot])
+        return pos + xs[:, None, :3]
 
     def energy_many(self, xs: np.ndarray) -> np.ndarray:
-        poses = np.stack([self.pose(x) for x in xs])
+        poses = self.pose_many(np.asarray(xs, float))
         return (self.grid.energy(poses, self.keys, self.heavy)
                 + self.intra.energy(poses))
 
