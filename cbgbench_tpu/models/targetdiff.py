@@ -298,7 +298,7 @@ def sample_timesteps(total: int, num_steps=None) -> np.ndarray:
 def sample_targetdiff(model: TargetDiff, params, batch, rng,
                       chunk_size: int = 250, impl: str = "auto",
                       traj_stride: int = 0, num_steps=None,
-                      eta: float = 1.0):
+                      eta: float = 1.0, sync_chunks: bool = True):
     """Reverse diffusion, host-chunked.
 
     Starts from the prior already placed in batch.ligand (pos ~ pocket
@@ -347,7 +347,12 @@ def sample_targetdiff(model: TargetDiff, params, batch, rng,
                                   eta=eta, unit_stride=unit_stride)
         # Synchronize between chunks: keeps each device RPC short (the
         # platform enforces a per-execution wall-clock budget).
-        jax.block_until_ready(carry[0])
+        # sync_chunks=False queues the next chunk's dispatch behind the
+        # in-flight one instead (each EXECUTION stays one chunk long, so
+        # the per-execution budget still holds) — hides the ~250 ms
+        # dispatch round trip per boundary on the remote tunnel.
+        if sync_chunks:
+            jax.block_until_ready(carry[0])
         lo += n
     x_fin, c_fin, _ = carry
     out = {"pos": x_fin, "atype": jnp.argmax(c_fin, -1), "c": c_fin}
