@@ -115,7 +115,10 @@ def main():
     # compile + warmup (sample_targetdiff hosts its own chunked dispatch —
     # the platform enforces a per-execution wall-clock budget, so the T-step
     # scan runs as jitted chunks)
-    warm = sample_targetdiff(model, params, batch, rng, chunk_size=CHUNK)
+    # sync_chunks=False queues chunk dispatches behind the in-flight
+    # execution (each execution stays one CHUNK long); measured +0.3%
+    warm = sample_targetdiff(model, params, batch, rng, chunk_size=CHUNK,
+                             sync_chunks=False)
     warm_pos = np.asarray(warm["pos"])  # value fetch = true barrier
     assert np.isfinite(warm_pos).all(), "warmup produced non-finite pos"
 
@@ -125,7 +128,7 @@ def main():
     for i in range(N_REP):
         out = sample_targetdiff(model, params, batch,
                                 jax.random.fold_in(rng, i + 1),
-                                chunk_size=CHUNK)
+                                chunk_size=CHUNK, sync_chunks=False)
         rep_pos.append(np.asarray(out["pos"]))
     dt = (time.perf_counter() - start) / N_REP
 
