@@ -82,7 +82,31 @@ class MotifVocab:
     def add(self, mol: Molecule, clique: List[int]) -> int:
         key = motif_signature(mol, clique)
         if key in self.key_to_id:
-            self.counts[self.key_to_id[key]] += 1
+            wid0 = self.key_to_id[key]
+            self.counts[wid0] += 1
+            # harvest up to 8 INSTANCE geometries per motif: a single
+            # template makes every draw of a motif bit-identical, so
+            # ring-heavy sampling (motif prior) collapses whole
+            # bond-length histogram bins to delta peaks (measured
+            # q5_flag_prior: JSD_BL 0.56 vs 0.38 with mixed draws);
+            # samplers draw one instance per growth step instead
+            tmpl = self.templates[wid0]
+            insts = tmpl.setdefault("instances", [tmpl["pos"]])
+            if len(insts) < 8:
+                from ..constants.molecule import MAX_VALENCE
+
+                def free_val(a):
+                    inside = sum(min(cls, 3)
+                                 for (i, j), cls in mol.bonds.items()
+                                 if a in (i, j) and i in clique
+                                 and j in clique)
+                    mx = MAX_VALENCE.get(int(mol.atomic_numbers[a]), 4)
+                    return mx - inside
+
+                idx = sorted(clique, key=free_val, reverse=True)
+                if list(mol.atomic_numbers[idx]) == list(tmpl["z"]):
+                    insts.append(
+                        (mol.pos[idx] - mol.pos[idx].mean(0)).copy())
         if key not in self.key_to_id:
             wid = len(self.key_to_id)
             self.key_to_id[key] = wid

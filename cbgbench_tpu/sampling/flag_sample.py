@@ -140,6 +140,17 @@ def _unpack_rows(packed, vocab_size, lig_cap, rec_cap, num_cand, dm_cap):
     return [[p[r] for p in parts] for r in range(packed.shape[0])]
 
 
+def _tmpl_pos(tmpl: dict, rng: np.random.Generator) -> np.ndarray:
+    """One harvested instance geometry of a motif (falls back to the
+    first-seen template). Sampling instances instead of repeating one
+    geometry keeps per-type bond-length histograms at their empirical
+    width (see MotifVocab.add)."""
+    insts = tmpl.get("instances")
+    if not insts or len(insts) == 1:
+        return tmpl["pos"]
+    return insts[int(rng.integers(0, len(insts)))]
+
+
 def vocab_from_dataset(ds) -> MotifVocab:
     """Deterministic vocabulary: decompose every dataset ligand in index
     order (train and sample CLIs call this identically, so wids agree)."""
@@ -351,7 +362,8 @@ def _flag_grow(base_sample: dict, vocab: MotifVocab, seed: int = 0,
             if k < dm_cap:
                 d_cross[j, a] = max(pred_dm[k], 1.0)
                 k += 1
-    new_pos = _mds_place(rec_pos[ref_idx], tmpl["pos"], d_cross)
+    new_pos = _mds_place(rec_pos[ref_idx], _tmpl_pos(tmpl, rng),
+                         d_cross)
     new_pos = new_pos + (center - new_pos.mean(0)) * 0.8  # flag.py:210-211
     if steric:
         # the 0.8-centering can bury the seed motif inside the receptor
@@ -464,7 +476,8 @@ def _flag_grow(base_sample: dict, vocab: MotifVocab, seed: int = 0,
                 if k < dm_cap:
                     d_cross[j, a] = max(pred_dm[k], 1.0)
                     k += 1
-        new_pos = _mds_place(rec_pos[ref_idx], tmpl["pos"], d_cross)
+        new_pos = _mds_place(rec_pos[ref_idx], _tmpl_pos(tmpl, rng),
+                             d_cross)
         # enforce the graft-bond length toward the attach atom
         d0 = new_pos[0] - st.pos[attach]
         n0 = np.linalg.norm(d0)
