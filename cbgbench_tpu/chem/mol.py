@@ -145,7 +145,17 @@ class Molecule:
     def valence_ok(self, slack: float = 0.0) -> bool:
         for i, z in enumerate(self.atomic_numbers):
             mx = MAX_VALENCE.get(int(z))
-            if mx is not None and self.bond_valence(i) > mx + slack:
+            if mx is None:
+                continue
+            if int(z) == 7 and self.bond_valence(i) <= 4.0:
+                # quaternary/protonated nitrogen: 4 single bonds is valid
+                # chemistry as N+ — the reference's RDKit path assigns the
+                # formal charge and sanitizes (rdkit_utils.py
+                # postprocess_rd_mol_2); crystal amines (e.g. 6CM4's
+                # risperidone-like N) otherwise fail every pose that
+                # includes them (q5_p2m_frag pocket 3 read 0/100 valid)
+                continue
+            if self.bond_valence(i) > mx + slack:
                 return False
         return True
 

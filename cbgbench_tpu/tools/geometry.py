@@ -54,14 +54,37 @@ def get_distribution(values: Sequence[float], bins) -> np.ndarray:
 # bond lengths
 # ---------------------------------------------------------------------------
 
+def _aromatic_ring_bonds(mol: Molecule) -> set:
+    """Bond keys inside perceived-aromatic rings. The reference keys its
+    histograms from RDKit bond types, where aromatic ring bonds are a
+    separate class (4) — SDFs here (like CrossDocked's) are kekulized,
+    so without this re-keying every aromatic C:C (~1.39 Å) lands in the
+    SINGLE-bond histogram whose reference mass sits at ~1.52 Å, inflating
+    JSD_BL for every ring-bearing molecule."""
+    if mol.aromatic is None or not mol.aromatic.any():
+        return set()
+    keys = set()
+    for ring in mol.rings():
+        if not all(mol.aromatic[a] for a in ring):
+            continue
+        m = len(ring)
+        for a in range(m):
+            i, j = ring[a], ring[(a + 1) % m]
+            if (min(i, j), max(i, j)) in mol.bonds:
+                keys.add((min(i, j), max(i, j)))
+    return keys
+
+
 def mol_bond_lengths(mol: Molecule) -> List[Tuple[Tuple[int, int, int], float]]:
+    arom = _aromatic_ring_bonds(mol)
     out = []
     for (i, j), cls in mol.bonds.items():
         z1, z2 = int(mol.atomic_numbers[i]), int(mol.atomic_numbers[j])
         if z1 > z2:
             z1, z2 = z2, z1
         d = float(np.linalg.norm(mol.pos[i] - mol.pos[j]))
-        out.append(((z1, z2, int(cls)), d))
+        key_cls = 4 if (i, j) in arom or (j, i) in arom else int(cls)
+        out.append(((z1, z2, key_cls), d))
     return out
 
 

@@ -139,3 +139,28 @@ def test_declash_shake_preserves_bond_lengths():
     for b, v in d0.items():
         dn = np.linalg.norm(out.pos[b[0]] - out.pos[b[1]])
         assert abs(dn - v) < 0.05, (b, v, dn)
+
+
+def test_valence_ok_quaternary_nitrogen():
+    """N with 4 single bonds is valid as N+ (the reference's RDKit path
+    assigns the formal charge — rdkit_utils.py postprocess_rd_mol_2);
+    the pure-python check must not reject crystal ammonium centers."""
+    import numpy as np
+    from cbgbench_tpu.chem.mol import Molecule
+    pos = np.zeros((5, 3))
+    pos[1:] = np.array([[1.5, 0, 0], [-1.5, 0, 0], [0, 1.5, 0],
+                        [0, -1.5, 0]])
+    m = Molecule(np.array([7, 6, 6, 6, 6]), pos)
+    for j in range(1, 5):
+        m.add_bond(0, j, 1)
+    assert m.valence_ok(slack=0.0)
+    # a 5-bonded nitrogen is still rejected
+    m2 = Molecule(np.array([7] + [6] * 5), np.zeros((6, 3)))
+    for j in range(1, 6):
+        m2.add_bond(0, j, 1)
+    assert not m2.valence_ok(slack=0.5)
+    # carbon over-valence is still rejected
+    m3 = Molecule(np.array([6] + [6] * 5), np.zeros((6, 3)))
+    for j in range(1, 6):
+        m3.add_bond(0, j, 1)
+    assert not m3.valence_ok(slack=0.5)

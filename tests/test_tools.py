@@ -325,3 +325,31 @@ def test_crystal_ligand_stability_ceiling():
     r = analyze_stability(mols)
     assert abs(r["mol_stable"] - 0.2) < 1e-9
     assert 0.90 < r["atm_stable"] < 0.95
+
+
+def test_bond_length_keying_aromatic_rings():
+    """Kekulized aromatic ring bonds must key as class 4 (the reference's
+    RDKit bond-type convention — its (6,6,4) histogram peaks at 1.39 Å)
+    while acyclic singles keep class 1."""
+    import numpy as np
+    from cbgbench_tpu.chem.aromatic import perceive_aromatic
+    from cbgbench_tpu.chem.mol import Molecule
+    from cbgbench_tpu.tools.geometry import mol_bond_lengths
+
+    n = 6
+    r = 1.39 / (2 * np.sin(np.pi / n))
+    ang = np.arange(n) * 2 * np.pi / n
+    pos = np.stack([r * np.cos(ang), r * np.sin(ang), np.zeros(n)], -1)
+    # benzene kekulized 1/2 alternating + one exocyclic single C
+    pos = np.concatenate([pos, [[r + 1.5, 0.0, 0.0]]])
+    m = Molecule(np.full(n + 1, 6), pos)
+    for i in range(n):
+        m.add_bond(i, (i + 1) % n, 1 + (i % 2))
+    m.add_bond(0, n, 1)
+    m.aromatic = perceive_aromatic(m)
+    assert m.aromatic[:n].all()
+    keys = dict(mol_bond_lengths(m))
+    ring_keys = [k for (k, d) in mol_bond_lengths(m) if d < 1.45]
+    assert all(k == (6, 6, 4) for k in ring_keys), ring_keys
+    exo = [k for (k, d) in mol_bond_lengths(m) if d > 1.45]
+    assert exo == [(6, 6, 1)]
