@@ -13,8 +13,11 @@ vs_baseline denominator until a measured reference number replaces it.
 Self-validation (round-2 hardening — BENCH_r01 recorded a physically
 impossible 17.28 mol/s because `block_until_ready` on the remote platform
 returns before compute finishes):
-  * >=3 timed reps, each ending in an actual device->host VALUE fetch of
-    the result (np.asarray) — data cannot arrive before compute completes.
+  * >=3 timed reps; the timed region ends in an actual device->host VALUE
+    fetch of every rep's result (np.asarray) — data cannot arrive before
+    compute completes. Reps are dispatched back-to-back (pipelined, like
+    the protocol sampler's consecutive per-pocket batches) so the number
+    is sustained throughput; see the timed-region comment.
   * outputs must be finite and must differ between reps (rng-dependent).
   * analytic FLOPs/step is printed, and the implied sustained TFLOP/s must
     not exceed any single chip's bf16 peak — exceeding it exits non-zero.
@@ -122,14 +125,21 @@ def main():
     warm_pos = np.asarray(warm["pos"])  # value fetch = true barrier
     assert np.isfinite(warm_pos).all(), "warmup produced non-finite pos"
 
-    # timed reps: each rep uses a different rng and ends in a value fetch
-    rep_pos = []
+    # timed reps, PIPELINED: dispatch all reps back-to-back (the protocol
+    # sampler's per-pocket batches queue the same way — 100 molecules =
+    # ~7 consecutive batches), then value-fetch each. Earlier reps'
+    # device->host fetches overlap later reps' compute, so the region
+    # measures sustained throughput rather than single-batch latency
+    # (the serial fetch+dispatch boundary cost ~1.5% per rep). Every
+    # execution is still one CHUNK long, so the per-execution wall-clock
+    # budget is untouched, and the region still ends in N_REP true value
+    # fetches — compute cannot finish after the timer stops.
     start = time.perf_counter()
-    for i in range(N_REP):
-        out = sample_targetdiff(model, params, batch,
-                                jax.random.fold_in(rng, i + 1),
-                                chunk_size=CHUNK, sync_chunks=False)
-        rep_pos.append(np.asarray(out["pos"]))
+    outs = [sample_targetdiff(model, params, batch,
+                              jax.random.fold_in(rng, i + 1),
+                              chunk_size=CHUNK, sync_chunks=False)
+            for i in range(N_REP)]
+    rep_pos = [np.asarray(out["pos"]) for out in outs]
     dt = (time.perf_counter() - start) / N_REP
 
     # -- validation ---------------------------------------------------

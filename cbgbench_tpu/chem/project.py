@@ -74,7 +74,8 @@ def bond_target_window(s1: str, s2: str, order: int
 def project_stable_pose(mol: Molecule, n_iter: int = 150,
                         step: float = 0.2, anchor: float = 0.02,
                         nb_pad: float = 0.03,
-                        rec_pos=None, rec_clear: float = 3.25) -> Molecule:
+                        rec_pos=None, rec_clear: float = 3.25,
+                        restore_bonds: bool = False) -> Molecule:
     """Return a copy of ``mol`` with positions projected onto the
     stability windows of its assigned bond graph. Bonds, elements and
     atom order are unchanged; positions move by a few hundredths of an A.
@@ -91,7 +92,17 @@ def project_stable_pose(mol: Molecule, n_iter: int = 150,
     where sequential project-then-SHAKE lost stability to bond-restore
     drift (0.59) and SHAKE-then-project re-entered the pocket (clash
     0.94, results/q4_flag_steric3). When rec_pos is given the defaults
-    tighten to n_iter=600 / anchor=0.005 unless the caller overrides."""
+    tighten to n_iter=600 / anchor=0.005 unless the caller overrides.
+
+    restore_bonds: bond targets become clip(d0, lo, hi) — the
+    GENERATOR's own length clamped into the stability window — and the
+    bond pull applies at every iteration, not only when a bond exits
+    its window. Without it, in-window bonds drift freely under the
+    clearance/nonbond pushes and the artifact pays a bond-length JSD
+    cost (q5_flagship: +0.04); with it, the SHAKE insight (restoring to
+    the generator's lengths keeps JSD_BL at raw, results/q4_*_shake)
+    carries into the joint solve. Violating bonds get the minimal-move
+    window-edge target (measured equivalent to center targets)."""
     n = mol.num_atoms
     if n < 2:
         return mol
@@ -119,6 +130,9 @@ def project_stable_pose(mol: Molecule, n_iter: int = 150,
     tgt = np.asarray(tgt, float)
     blo = np.asarray(blo, float)
     bhi = np.asarray(bhi, float)
+    if restore_bonds and len(bi):
+        d0 = np.linalg.norm(pos0[bi] - pos0[bj], axis=-1)
+        tgt = np.clip(d0, blo, np.where(np.isfinite(bhi), bhi, d0))
 
     # non-bonded lower bounds: the order-1 threshold for the pair + pad
     lb = np.zeros((n, n), float)
@@ -149,7 +163,10 @@ def project_stable_pose(mol: Molecule, n_iter: int = 150,
         dv = pos[bi] - pos[bj]
         d = np.linalg.norm(dv, axis=-1)
         d = np.maximum(d, 1e-6)
-        err = np.where((d < blo) | (d > bhi), d - tgt, 0.0)
+        if restore_bonds:
+            err = d - tgt
+        else:
+            err = np.where((d < blo) | (d > bhi), d - tgt, 0.0)
         g = (err / d)[:, None] * dv
         np.add.at(grad, bi, g)
         np.add.at(grad, bj, -g)

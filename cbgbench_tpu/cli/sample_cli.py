@@ -199,6 +199,16 @@ def main(argv=None):
                    help="D3FG stage 1: temperature on the predicted FG-type "
                         "distribution before the D3PM posterior (1 = "
                         "reference; >1 flattens a mode-collapsed type head)")
+    p.add_argument("--type_prior", type=float, default=0.0, metavar="ALPHA",
+                   help="D3FG stage 1: additive importance correction "
+                        "ALPHA*(log p_corpus - log p_model) on the clean-"
+                        "type logits (corpus = decompose_fg over the "
+                        "dataset ligands; model marginal from "
+                        "--type_prior_marginal). 0 = reference")
+    p.add_argument("--type_prior_marginal",
+                   default="results/q3_d3fg/stage1_metrics.json",
+                   help="stage1_metrics.json whose gen_hist estimates the "
+                        "model's unbiased type marginal for --type_prior")
     p.add_argument("--motif_prior", type=float, default=0.0, metavar="ALPHA",
                    help="FLAG: reweight the top-5 motif draw by the corpus "
                         "motif-frequency prior^ALPHA (0 = the reference's "
@@ -292,16 +302,29 @@ def main(argv=None):
         # D3FG stage 1 writes FG context pools, not SDFs (reference:
         # sample.py:239-241); stage 2 runs via cli/d3fg_two_stage or a
         # linker config with the load_ctx transform
-        from ..sampling.d3fg_stage import run_stage1
+        from ..sampling.d3fg_stage import corpus_type_bias, run_stage1
+        type_bias = None
+        if args.type_prior:
+            type_bias = corpus_type_bias(
+                args.type_prior,
+                raw_path=data_cfg.get("raw_path", "assets/examples"),
+                marginal_json=args.type_prior_marginal)
+            log.info("type_prior alpha=%.3g bias range [%.2f, %.2f]",
+                     args.type_prior, float(type_bias.min()),
+                     float(type_bias.max()))
         for i in indices:
             t_start = time.time()
             pool = run_stage1(model, params, ds, i, num_samples,
                               args.batch_size, args.out_root, rng_seed=seed,
                               num_steps=args.num_steps,
-                              type_temp=args.type_temp)
+                              type_temp=args.type_temp,
+                              type_bias=type_bias)
             dt = time.time() - t_start
             log.info("pocket %d: stage-1 FG pool at %s | %.1fs", i, pool, dt)
             summary.append({"index": int(i), "pool": pool, "seconds": dt})
+        if args.type_prior:
+            summary.append({"postprocess": f"type_prior={args.type_prior}",
+                            "type_prior_marginal": args.type_prior_marginal})
         with open(os.path.join(args.out_root, "summary.json"), "w") as f:
             json.dump(summary, f, indent=1)
         return summary

@@ -187,7 +187,8 @@ class D3FG(nn.Module):
 
 @functools.partial(jax.jit, static_argnames=("model", "unit_stride"))
 def _sample_chunk(model: D3FG, params, batch, carry, t_arr, s_arr,
-                  unit_stride: bool = True, type_temp=1.0):
+                  unit_stride: bool = True, type_temp=1.0,
+                  type_bias=0.0):
     """Scan reverse jumps t_arr[i] -> s_arr[i] over frames (pos + SO(3)
     orientation + FG type). unit_stride keeps the reference's unit-step
     machinery; strided ladders use the closed-form jump posteriors
@@ -220,7 +221,15 @@ def _sample_chunk(model: D3FG, params, batch, carry, t_arr, s_arr,
         # returns logits — the scheduler softmaxes internally). T = 1 is
         # bit-exact reference; T > 1 flattens a benzene-collapsed head.
         # Traced scalar: every T shares one compiled program.
-        c_pred = c_pred / type_temp
+        # type_bias (scalar 0 or [num_fg_types]) adds an importance
+        # correction alpha*(log p_corpus - log p_model) to the clean-type
+        # logits — the FLAG corpus-frequency-prior lever (BASELINE r5)
+        # adapted to the D3PM ladder. Unlike temperature (divisive:
+        # flattens ALL relative logits, measured to collapse the head at
+        # T>=1.03), the additive tilt targets specific over/under-drawn
+        # classes and its per-step effect saturates once the posterior
+        # agrees with the corpus marginal.
+        c_pred = c_pred / type_temp + type_bias
         if unit_stride:
             xc_next = pos_sched.backward_remove_noise(
                 k1, eps_pos, xc, t, gen, pred_type=model.pos_loss_type)
@@ -243,9 +252,10 @@ def _sample_chunk(model: D3FG, params, batch, carry, t_arr, s_arr,
 
 
 def sample_d3fg(model: D3FG, params, batch, rng, chunk_size: int = 250,
-                num_steps=None, type_temp: float = 1.0):
+                num_steps=None, type_temp: float = 1.0, type_bias=None):
     """num_steps < num_timesteps runs a strided fast-sampling ladder.
-    type_temp != 1 tempers the FG-type posterior (see _sample_chunk)."""
+    type_temp != 1 tempers the FG-type posterior; type_bias adds a
+    per-class logit tilt (see _sample_chunk)."""
     from .targetdiff import sample_timesteps
     lig = batch.ligand
     c_in = jax.nn.one_hot(lig.type_fg, model.num_fg_types)
@@ -261,7 +271,10 @@ def sample_d3fg(model: D3FG, params, batch, rng, chunk_size: int = 250,
                               jnp.asarray(ts[lo:lo + n]),
                               jnp.asarray(ss[lo:lo + n]),
                               unit_stride=unit_stride,
-                              type_temp=jnp.float32(type_temp))
+                              type_temp=jnp.float32(type_temp),
+                              type_bias=(jnp.float32(0.0) if type_bias is None
+                                         else jnp.asarray(type_bias,
+                                                          jnp.float32)))
         jax.block_until_ready(carry[0])
         lo += n
     xc, o, c, _ = carry

@@ -46,10 +46,55 @@ def prior_fg_sample(protein_residues: dict, rng: np.random.Generator,
     }
 
 
+def corpus_type_bias(alpha: float, raw_path: str = "assets/examples",
+                     marginal_json: Optional[str] = None) -> np.ndarray:
+    """Importance-correction logit tilt for the stage-1 FG-type head:
+    alpha * (log p_corpus - log p_model), Laplace-smoothed, zero-meaned.
+
+    p_corpus: decompose_fg over the dataset's reference ligands (the same
+    detector that builds the training supervision — symmetric with
+    scripts/eval_d3fg_stage1.py). p_model: the measured generation
+    histogram of a T=1 reference run (stage1_metrics.json gen_hist);
+    classes the model never draws (e.g. NC=O) get the largest positive
+    tilt. alpha=0 disables; alpha=1 is the full correction."""
+    import json as _json
+
+    from ..chem.fg_detect import decompose_fg
+    from ..chem.mol2 import read_mol2
+    from ..chem.sdf import read_sdf
+    from ..constants.fg import FG2CLASS, NUM_FG_TYPES
+    from ..data.dataset import scan_pair_dir
+
+    ref = np.zeros(NUM_FG_TYPES)
+    for _, lig_path in scan_pair_dir(raw_path):
+        mols = (read_mol2(lig_path) if lig_path.endswith(".mol2")
+                else read_sdf(lig_path))
+        for mol in mols[:1]:
+            for rec in decompose_fg(mol):
+                ref[rec["wid"]] += 1.0
+    gen = np.zeros(NUM_FG_TYPES)
+    if marginal_json and os.path.exists(marginal_json):
+        with open(marginal_json) as f:
+            hist = _json.load(f).get("gen_hist", {})
+        for key, cnt in hist.items():
+            cls = FG2CLASS.get(key)
+            if cls is not None:
+                gen[cls] += float(cnt)
+    # eps-mixture smoothing (NOT Laplace: adding one pseudocount to
+    # corpora of different sizes manufactures a +log(N_gen/N_ref) tilt
+    # for every class unseen in both — here unseen-in-both cancels to 0)
+    eps = 0.01
+    p_ref = (1 - eps) * ref / max(ref.sum(), 1.0) + eps / NUM_FG_TYPES
+    p_gen = (1 - eps) * gen / max(gen.sum(), 1.0) + eps / NUM_FG_TYPES
+    bias = alpha * (np.log(p_ref) - np.log(p_gen))
+    return bias.astype(np.float32)
+
+
 def run_stage1(model, params, dataset, index: int, num_samples: int,
                batch_size: int, out_dir: str, rng_seed: int = 2022,
                fg_cap: int = 24, res_cap: int = 96,
-               num_steps=None, type_temp: float = 1.0) -> str:
+               num_steps=None, type_temp: float = 1.0,
+               type_bias=None) -> str:
     """Generate FG sets for one pocket and write the context pool."""
     from ..models.d3fg import sample_d3fg
 
@@ -65,7 +110,8 @@ def run_stage1(model, params, dataset, index: int, num_samples: int,
         batch = stack_fg_batch(samples, fg_cap=fg_cap, res_cap=res_cap)
         out = sample_d3fg(model, params, batch,
                           jax.random.PRNGKey(rng_seed + done),
-                          num_steps=num_steps, type_temp=type_temp)
+                          num_steps=num_steps, type_temp=type_temp,
+                          type_bias=type_bias)
         all_pool += save_ctx_pool(pool_path + ".tmp", out, batch)
         done += bs
     import pickle

@@ -10,6 +10,7 @@ OUT=/tmp/bench_variance.jsonl
 cat > /tmp/jobs_src/bench_job.py <<'PYEOF'
 import sys, runpy, os
 os.chdir("/root/repo")
+sys.path.insert(0, "/root/repo")
 sys.argv = ["bench"]
 runpy.run_path("bench.py", run_name="__main__")
 PYEOF

@@ -54,7 +54,7 @@ def main():
     ap.add_argument("--dst", required=True)
     ap.add_argument("--mode", default="declash",
                     choices=["declash", "cycle", "hybrid", "gentle", "shake",
-                             "project", "flagship"])
+                             "project", "flagship", "flagship2"])
     ap.add_argument("--protein_root", default="assets/examples")
     args = ap.parse_args()
 
@@ -87,6 +87,12 @@ def main():
                 # valence-aware stability projection only (the
                 # --project_stable CLI path; no receptor needed)
                 m = project_stable_pose(m)
+            elif args.mode == "flagship2" and rp is not None:
+                # flagship + restore_bonds: in-window bonds are held at
+                # the generator's own lengths during the joint solve, so
+                # the clearance pushes cannot drift the bond-length
+                # distribution (the SHAKE insight inside the solver)
+                m = project_stable_pose(m, rec_pos=rp, restore_bonds=True)
             elif args.mode == "flagship" and rp is not None:
                 # the sample_cli --project_stable --declash composition:
                 # JOINT solve of the stability windows and the receptor

@@ -137,6 +137,39 @@ def test_joint_projection_clears_receptor_and_keeps_stability():
     assert proj.bonds == m.bonds
 
 
+def test_restore_bonds_holds_generator_lengths_under_clearance_push():
+    """restore_bonds: in-window bonds are pulled back to the GENERATOR's
+    own lengths while the receptor hinge shoves the pose out of the
+    pocket — the bond-length distribution must survive the joint solve
+    (the SHAKE insight inside the solver; without it, in-window bonds
+    drift freely and the flagship artifact paid +0.04 JSD_BL)."""
+    n = 5
+    pos = np.zeros((n, 3))
+    # distinctive but in-window single-bond lengths the solve must keep
+    gaps = np.array([1.48, 1.52, 1.55, 1.50])
+    pos[1:, 0] = np.cumsum(gaps)
+    bonds = {(i, i + 1): 1 for i in range(n - 1)}
+    m = Molecule(np.full(n, 6), pos, bonds=bonds)
+    rec = np.array([[1.5, 1.0, 0.0], [3.0, 1.0, 0.0], [4.5, 1.0, 0.0]])
+    proj = project_stable_pose(m, rec_pos=rec, restore_bonds=True)
+    d = np.linalg.norm(proj.pos[:, None] - rec[None], axis=-1)
+    assert float(d.min()) >= 3.2, float(d.min())
+    assert check_stability(proj.pos, proj.atomic_numbers)[0]
+    new_gaps = np.linalg.norm(np.diff(proj.pos, axis=0), axis=-1)
+    np.testing.assert_allclose(new_gaps, gaps, atol=0.02)
+
+
+def test_restore_bonds_still_projects_violating_bond_to_window_edge():
+    # a compressed bond (reads double) must still land in the single
+    # window; restore_bonds targets clip(d0, lo, hi) = the window edge
+    pos = np.array([[0.0, 0, 0], [1.30, 0, 0], [2.84, 0, 0]])
+    m = Molecule(np.array([6, 6, 6]), pos, bonds={(0, 1): 1, (1, 2): 1})
+    proj = project_stable_pose(m, restore_bonds=True)
+    d01 = float(np.linalg.norm(proj.pos[0] - proj.pos[1]))
+    assert _bond_order("C", "C", d01) == 1, d01
+    assert check_stability(proj.pos, proj.atomic_numbers)[0]
+
+
 def test_joint_projection_defaults_do_not_change_plain_path():
     """Without rec_pos the function's behavior (defaults included) is the
     r4 projection — existing artifacts stay reproducible."""
