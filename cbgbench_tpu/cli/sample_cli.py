@@ -199,6 +199,11 @@ def main(argv=None):
                    help="D3FG stage 1: temperature on the predicted FG-type "
                         "distribution before the D3PM posterior (1 = "
                         "reference; >1 flattens a mode-collapsed type head)")
+    p.add_argument("--restore_bonds", action="store_true",
+                   help="with --project_stable --declash: hold in-window "
+                        "bonds at the generator's own lengths inside the "
+                        "joint solve (q5_flagship2 recipe — bond-length "
+                        "JSD cost +0.04 -> +0.015 at mol_stable 0.94)")
     p.add_argument("--type_prior", type=float, default=0.0, metavar="ALPHA",
                    help="D3FG stage 1: additive importance correction "
                         "ALPHA*(log p_corpus - log p_model) on the clean-"
@@ -450,8 +455,13 @@ def main(argv=None):
                         # the receptor-clearance hinge in one projection
                         # (measured q5: mol_stable 0.98 AND clash 0.00;
                         # any sequential order loses one side — see
-                        # chem/project.py docstring)
-                        frag = project_stable_pose(frag, rec_pos=rp)
+                        # chem/project.py docstring). --restore_bonds
+                        # additionally holds in-window bonds at the
+                        # generator's lengths (q5_flagship2: JSD_BL cost
+                        # +0.04 -> +0.015 at mol_stable 0.94)
+                        frag = project_stable_pose(
+                            frag, rec_pos=rp,
+                            restore_bonds=args.restore_bonds)
                     elif args.project_stable:
                         frag = project_stable_pose(frag)
                     elif rp is not None:

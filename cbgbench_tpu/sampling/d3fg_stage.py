@@ -49,7 +49,7 @@ def prior_fg_sample(protein_residues: dict, rng: np.random.Generator,
 def corpus_type_bias(alpha: float, raw_path: str = "assets/examples",
                      marginal_json: Optional[str] = None) -> np.ndarray:
     """Importance-correction logit tilt for the stage-1 FG-type head:
-    alpha * (log p_corpus - log p_model), Laplace-smoothed, zero-meaned.
+    alpha * (log p_corpus - log p_model), eps-mixture smoothed.
 
     p_corpus: decompose_fg over the dataset's reference ligands (the same
     detector that builds the training supervision — symmetric with
